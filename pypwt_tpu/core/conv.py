@@ -1,0 +1,207 @@
+"""Periodized filtering primitives (the TPU-native kernel layer's reference
+implementation, in pure jax.numpy).
+
+These are the exact vectorized restatements of the reference CUDA kernels'
+index algebra:
+
+* analysis (convolve + decimate), separable pass
+  (separable.cu:91-131 "w_kern_forward_pass1"):
+      out[i] = sum_k f[k] * x_ext[(2 i + s - k) mod M],   s = hlen//2
+  where for odd N the signal is virtually extended by repeating its last
+  element (M = N + 1), matching pywt's "periodization" mode.
+
+* synthesis (upsample + convolve), polyphase form
+  (separable.cu:246-328 "w_kern_inverse_pass1/2"): each output parity p reads
+  the coefficients once with the phase-p polyphase component of the filter,
+  with the reference's even/odd half-length centering rules.
+
+* stationary (a-trous) analysis/synthesis with 2^(level-1)-dilated filters
+  (separable.cu:409-493, 553-626), plain mod-N wrap, inverse scaled by 1/2
+  per axis.
+
+All functions operate on the last axis; callers transpose for other axes.
+Filters are NumPy float64 arrays, cast to the data dtype (float32 by
+default) so they become XLA constants — the TPU analog of the reference's
+CUDA constant memory (common.h:15-37).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+def _as_taps(f, dtype):
+    """Filter taps as a list of scalars.
+
+    NumPy filters become compile-time constants (the TPU analog of CUDA
+    constant memory); JAX arrays/tracers stay traced, letting one compiled
+    transform serve every wavelet of the same length.
+    """
+    if isinstance(f, np.ndarray) or isinstance(f, (list, tuple)):
+        f = np.asarray(f)
+        if f.ndim != 1:
+            raise ValueError("filter must be 1D")
+        return [np.asarray(v, dtype=dtype) for v in f.astype(np.float64)]
+    if f.ndim != 1:
+        raise ValueError("filter must be 1D")
+    fc = f.astype(dtype)
+    return [fc[k] for k in range(f.shape[0])]
+
+
+def periodic_pad_last(x, lpad: int, rpad: int):
+    """Periodic padding along the last axis, robust to pads >= N."""
+    if lpad == 0 and rpad == 0:
+        return x
+    n = x.shape[-1]
+    if lpad < n and rpad < n:
+        parts = []
+        if lpad:
+            parts.append(x[..., n - lpad:])
+        parts.append(x)
+        if rpad:
+            parts.append(x[..., :rpad])
+        return jnp.concatenate(parts, axis=-1)
+    idx = np.arange(-lpad, n + rpad) % n
+    return jnp.take(x, jnp.asarray(idx), axis=-1)
+
+
+def _odd_extend_last(x):
+    """Repeat the last element so the length is even (reference's virtual
+    extension for odd sizes, separable.cu:116-121)."""
+    if x.shape[-1] % 2 == 1:
+        x = jnp.concatenate([x, x[..., -1:]], axis=-1)
+    return x
+
+
+def analysis_last(x, dec_lo, dec_hi):
+    """Single-level decimating analysis along the last axis.
+
+    Returns (lo, hi), each of length div2(N).
+    """
+    n = x.shape[-1]
+    hlen = len(dec_lo)
+    s = hlen // 2
+    xe = _odd_extend_last(x)
+    m = xe.shape[-1]
+    L = m // 2
+    lpad, rpad = hlen - 1 - s, max(s - 1, 0)
+    xp = periodic_pad_last(xe, lpad, rpad)
+    # out[i] = sum_j g[j] * xp[2i + j], g = f reversed
+    even = xp[..., 0::2]
+    odd = xp[..., 1::2]
+    flo = _as_taps(dec_lo, x.dtype)
+    fhi = _as_taps(dec_hi, x.dtype)
+    lo = None
+    hi = None
+    for j in range(hlen):
+        src = even if j % 2 == 0 else odd
+        seg = src[..., j // 2: j // 2 + L]
+        glo, ghi = flo[hlen - 1 - j], fhi[hlen - 1 - j]
+        lo = seg * glo if lo is None else lo + seg * glo
+        hi = seg * ghi if hi is None else hi + seg * ghi
+    return lo, hi
+
+
+def synthesis_last(lo, hi, rec_lo, rec_hi, n_out: int):
+    """Single-level upsampling synthesis along the last axis.
+
+    lo/hi have length L = div2(n_out); returns length n_out.
+    Implements the reference's polyphase inverse including its even
+    half-length right-shift rule (separable.cu:252-264).
+    """
+    L = lo.shape[-1]
+    hlen = len(rec_lo)
+    hlen2 = hlen // 2
+    sigma = 1 if hlen2 % 2 == 0 else 0
+    c = hlen2 // 2
+    flo = _as_taps(rec_lo, lo.dtype)
+    fhi = _as_taps(rec_hi, lo.dtype)
+
+    Lout = (n_out + 1) // 2  # compute both parities at this length
+    phases = []
+    for p in (0, 1):
+        pp = (p + sigma) & 1
+        delta = (p + sigma) >> 1
+        off = 1 - pp
+        start = delta - c
+        lpad = max(-start, 0)
+        rpad = max(start + Lout + hlen2 - 1 - L, 0)
+        lop = periodic_pad_last(lo, lpad, rpad)
+        hip = periodic_pad_last(hi, lpad, rpad)
+        base = start + lpad
+        acc = None
+        for j in range(hlen2):
+            tap = hlen - 1 - 2 * j - off
+            gl, gh = flo[tap], fhi[tap]
+            seg_l = lop[..., base + j: base + j + Lout]
+            seg_h = hip[..., base + j: base + j + Lout]
+            term = seg_l * gl + seg_h * gh
+            acc = term if acc is None else acc + term
+        phases.append(acc)
+    out = jnp.stack(phases, axis=-1).reshape(*lo.shape[:-1], 2 * Lout)
+    return out[..., :n_out]
+
+
+def swt_analysis_last(x, dec_lo, dec_hi, level: int):
+    """Single-level stationary (a-trous) analysis along the last axis.
+
+    The filters are virtually upsampled by factor = 2^(level-1); no
+    decimation.  Plain mod-N periodic wrap (separable.cu:409-448).
+    """
+    n = x.shape[-1]
+    hlen = len(dec_lo)
+    s = hlen // 2
+    factor = 1 << (level - 1)
+    # slice offsets are lpad + (s-k)*factor for k = 0..hlen-1
+    lpad, rpad = (hlen - 1 - s) * factor, s * factor
+    xp = periodic_pad_last(x, lpad, rpad)
+    flo = _as_taps(dec_lo, x.dtype)
+    fhi = _as_taps(dec_hi, x.dtype)
+    lo = None
+    hi = None
+    for k in range(hlen):
+        ofs = lpad + (s - k) * factor
+        seg = xp[..., ofs: ofs + n]
+        lo = seg * flo[k] if lo is None else lo + seg * flo[k]
+        hi = seg * fhi[k] if hi is None else hi + seg * fhi[k]
+    return lo, hi
+
+
+def swt_synthesis_last(lo, hi, rec_lo, rec_hi, level: int):
+    """Single-level stationary synthesis along the last axis (includes the
+    1/2-per-axis rescale of the reference, separable.cu:581-584)."""
+    n = lo.shape[-1]
+    hlen = len(rec_lo)
+    s = hlen // 2 - 1 if hlen % 2 == 0 else hlen // 2
+    factor = 1 << (level - 1)
+    lpad = (hlen - 1 - s) * factor
+    rpad = max(s, 0) * factor
+    lop = periodic_pad_last(lo, lpad, rpad)
+    hip = periodic_pad_last(hi, lpad, rpad)
+    flo = _as_taps(rec_lo, lo.dtype)
+    fhi = _as_taps(rec_hi, lo.dtype)
+    half = jnp.asarray(0.5, lo.dtype)
+    out = None
+    for k in range(hlen):
+        ofs = lpad + (s - k) * factor
+        seg = (lop[..., ofs: ofs + n] * (flo[k] * half)
+               + hip[..., ofs: ofs + n] * (fhi[k] * half))
+        out = seg if out is None else out + seg
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Axis helpers
+# ---------------------------------------------------------------------------
+
+def _apply_along(fn, axis, x, *arrays):
+    """Run a last-axis primitive along ``axis`` by transposing."""
+    if axis in (-1, x.ndim - 1):
+        return fn(x, *arrays)
+    xs = jnp.swapaxes(x, axis, -1)
+    res = fn(xs, *arrays)
+    if isinstance(res, tuple):
+        return tuple(jnp.swapaxes(r, axis, -1) for r in res)
+    return jnp.swapaxes(res, axis, -1)

@@ -1,0 +1,230 @@
+"""Non-separable 2D transforms: one true 2D convolution per level.
+
+Equivalent of the reference's non-separable kernels (nonseparable.cu:114-225
+for DWT, :304-401 for SWT).  The four 2D filters (LL, LH, HL, HH) are outer
+products of the 1D bank for built-in wavelets (w_outer/w_compute_filters,
+nonseparable.cu:16-83) or arbitrary user-supplied squares (custom banks).
+
+TPU mapping: the 2D filtering is expressed as ``lax.conv_general_dilated``
+(NCHW/OIHW), which XLA lowers onto the MXU; all four subbands are produced
+by one convolution with 4 output channels.  The inverse packs the four
+output *phases* as 4 output channels of a single stride-1 convolution over
+the 4 subband input channels, then interleaves 2x2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+from jax import lax
+
+from . import conv
+from .shapes import div2
+
+
+class Filters2D:
+    """The four 2D analysis + four 2D synthesis filters.
+
+    For built-in banks these are outer products f1[i] * f2[j]; the first
+    index filters the row axis.
+
+    Note: the reference assigns LH = lo(rows) x hi(cols) to the H subband
+    (w_compute_filters, nonseparable.cu:71-74, flagged "CHECKME" upstream),
+    which swaps H and V relative to its own separable path / pywt; upstream
+    only ever tests separable=1 against pywt.  We use the consistent
+    (separable/pywt) convention: H = hi(rows) x lo(cols).
+    """
+
+    def __init__(self, dec, rec, name="custom2d"):
+        self.name = name
+        self.dec = [np.asarray(f, dtype=np.float64) for f in dec]
+        self.rec = [np.asarray(f, dtype=np.float64) for f in rec]
+        n = self.dec[0].shape[0]
+        for f in self.dec + self.rec:
+            if f.shape != (n, n):
+                raise ValueError("2D filters must all be square, same size")
+        self.hlen = n
+
+    @staticmethod
+    def from_bank(fb):
+        def outer(a, b):
+            return np.outer(np.asarray(a), np.asarray(b))
+
+        dec = [outer(fb.dec_lo, fb.dec_lo), outer(fb.dec_hi, fb.dec_lo),
+               outer(fb.dec_lo, fb.dec_hi), outer(fb.dec_hi, fb.dec_hi)]
+        rec = [outer(fb.rec_lo, fb.rec_lo), outer(fb.rec_hi, fb.rec_lo),
+               outer(fb.rec_lo, fb.rec_hi), outer(fb.rec_hi, fb.rec_hi)]
+        return Filters2D(dec, rec, name=fb.name)
+
+
+def _pad2_periodic(x, lpad, rpad):
+    x = conv.periodic_pad_last(x, lpad, rpad)
+    xt = jnp.swapaxes(x, -1, -2)
+    xt = conv.periodic_pad_last(xt, lpad, rpad)
+    return jnp.swapaxes(xt, -1, -2)
+
+
+def _odd_extend_2d(x):
+    x = conv._odd_extend_last(x)
+    xt = jnp.swapaxes(x, -1, -2)
+    xt = conv._odd_extend_last(xt)
+    return jnp.swapaxes(xt, -1, -2)
+
+
+def _conv_nchw(x, rhs, strides=(1, 1), dilation=(1, 1)):
+    """x: (..., H, W); rhs: (O, I, kh, kw) numpy.  Returns (..., O, H', W')."""
+    lead = x.shape[:-2]
+    xi = x.reshape((-1, 1, x.shape[-2], x.shape[-1]))
+    if rhs.shape[1] > 1:
+        # channels are provided in the last-but-2 axis of x
+        xi = x.reshape((-1,) + x.shape[-3:])
+    out = lax.conv_general_dilated(
+        xi, jnp.asarray(rhs, x.dtype),
+        window_strides=strides, padding="VALID",
+        rhs_dilation=dilation,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=x.dtype,
+        # full-precision multiplies: default TPU lowering would use bf16
+        # inputs, far outside the float32 accuracy envelope
+        precision=lax.Precision.HIGHEST,
+    )
+    if rhs.shape[1] > 1:
+        return out.reshape(lead[:-1] + out.shape[1:])
+    return out.reshape(lead + out.shape[1:])
+
+
+def nsdwt2d(x, f2d: Filters2D):
+    """One non-separable 2D analysis level -> (a, h, v, d)."""
+    hlen = f2d.hlen
+    s = hlen // 2
+    xe = _odd_extend_2d(x)
+    xp = _pad2_periodic(xe, hlen - 1 - s, max(s - 1, 0))
+    rhs = np.stack([f[::-1, ::-1] for f in f2d.dec])[:, None]  # (4,1,k,k)
+    out = _conv_nchw(xp, rhs, strides=(2, 2))
+    return tuple(out[..., i, :, :] for i in range(4))
+
+
+def insdwt2d(a, h, v, d, f2d: Filters2D, out_shape):
+    """One non-separable 2D synthesis level (4-phase polyphase inverse,
+    nonseparable.cu:176-225)."""
+    nr, nc = out_shape[-2], out_shape[-1]
+    L_r, L_c = a.shape[-2], a.shape[-1]
+    hlen = f2d.hlen
+    hlen2 = hlen // 2
+    sigma = 1 if hlen2 % 2 == 0 else 0
+    c = hlen2 // 2
+    Lout_r, Lout_c = (nr + 1) // 2, (nc + 1) // 2
+
+    coeffs = jnp.stack([a, h, v, d], axis=-3)  # (..., 4, L_r, L_c)
+
+    # phase-dependent pads (same recipe as the 1D synthesis)
+    def pad_for(p, L, Lout):
+        pp = (p + sigma) & 1
+        delta = (p + sigma) >> 1
+        start = delta - c
+        lpad = max(-start, 0)
+        rpad = max(start + Lout + hlen2 - 1 - L, 0)
+        return pp, start + lpad, lpad, rpad
+
+    # all four phases share delta/lpad per parity; pad once with the max
+    pads = {p: pad_for(p, L_r, Lout_r) for p in (0, 1)}
+    lpad = max(pads[0][2], pads[1][2])
+    rpad = max(pads[0][3], pads[1][3])
+    xp = _pad2_periodic(coeffs, lpad, rpad)
+
+    # rhs[(py*2+px), b, jy, jx] = F_b[hlen-1-2jy-offy, hlen-1-2jx-offx]
+    rhs = np.zeros((4, 4, hlen2, hlen2))
+    offs = {}
+    for p in (0, 1):
+        pp = (p + sigma) & 1
+        offs[p] = 1 - pp
+    js = np.arange(hlen2)
+    for py in (0, 1):
+        for px in (0, 1):
+            ty = hlen - 1 - 2 * js - offs[py]
+            tx = hlen - 1 - 2 * js - offs[px]
+            for b, F in enumerate(f2d.rec):
+                rhs[py * 2 + px, b] = F[np.ix_(ty, tx)]
+
+    outs = {}
+    for py in (0, 1):
+        by = pads[py][1] + lpad - pads[py][2]
+        for px in (0, 1):
+            bx = pads[px][1] + lpad - pads[px][2]
+            win = xp[..., by: by + Lout_r + hlen2 - 1,
+                     bx: bx + Lout_c + hlen2 - 1]
+            o = _conv_nchw(win, rhs[py * 2 + px: py * 2 + px + 1, :])
+            outs[(py, px)] = o[..., 0, :, :]
+
+    top = jnp.stack([outs[(0, 0)], outs[(0, 1)]], axis=-1)
+    bot = jnp.stack([outs[(1, 0)], outs[(1, 1)]], axis=-1)
+    top = top.reshape(*top.shape[:-2], 2 * Lout_c)
+    bot = bot.reshape(*bot.shape[:-2], 2 * Lout_c)
+    out = jnp.stack([top, bot], axis=-2).reshape(
+        *top.shape[:-2], 2 * Lout_r, 2 * Lout_c)
+    return out[..., :nr, :nc]
+
+
+def ns_swt2d_level(x, f2d: Filters2D, level: int):
+    """One non-separable stationary analysis level (nonseparable.cu:304-354)."""
+    hlen = f2d.hlen
+    s = hlen // 2
+    factor = 1 << (level - 1)
+    xp = _pad2_periodic(x, (hlen - 1 - s) * factor, s * factor)
+    rhs = np.stack([f[::-1, ::-1] for f in f2d.dec])[:, None]
+    out = _conv_nchw(xp, rhs, dilation=(factor, factor))
+    return tuple(out[..., i, :, :] for i in range(4))
+
+
+def ins_swt2d_level(a, h, v, d, f2d: Filters2D, level: int):
+    """One non-separable stationary synthesis level, scaled by 1/4
+    (nonseparable.cu:360-401)."""
+    hlen = f2d.hlen
+    s = hlen // 2 - 1 if hlen % 2 == 0 else hlen // 2
+    factor = 1 << (level - 1)
+    coeffs = jnp.stack([a, h, v, d], axis=-3)
+    xp = _pad2_periodic(coeffs, (hlen - 1 - s) * factor,
+                        max(s, 0) * factor)
+    rhs = np.stack([f[::-1, ::-1] * 0.25 for f in f2d.rec])[None]  # (1,4,k,k)
+    out = _conv_nchw(xp, rhs, dilation=(factor, factor))
+    return out[..., 0, :, :]
+
+
+def ns_wavedec2(image, f2d, levels):
+    a = image
+    details = []
+    for _ in range(levels):
+        a, h, v, d = nsdwt2d(a, f2d)
+        details.append((h, v, d))
+    return [a] + details
+
+
+def ns_waverec2(coeffs, f2d, shape):
+    levels = len(coeffs) - 1
+    sizes = [tuple(shape[-2:])]
+    for _ in range(levels):
+        sizes.append((div2(sizes[-1][0]), div2(sizes[-1][1])))
+    a = coeffs[0]
+    for lev in range(levels, 0, -1):
+        h, v, d = coeffs[lev]
+        a = insdwt2d(a, h, v, d, f2d, sizes[lev - 1])
+    return a
+
+
+def ns_swt2d(image, f2d, levels):
+    a = image
+    details = []
+    for lev in range(1, levels + 1):
+        a, h, v, d = ns_swt2d_level(a, f2d, lev)
+        details.append((h, v, d))
+    return [a] + details
+
+
+def ins_swt2d(coeffs, f2d):
+    levels = len(coeffs) - 1
+    a = coeffs[0]
+    for lev in range(levels, 0, -1):
+        h, v, d = coeffs[lev]
+        a = ins_swt2d_level(a, h, v, d, f2d, lev)
+    return a

