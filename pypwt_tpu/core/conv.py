@@ -75,24 +75,24 @@ def _odd_extend_last(x):
     return x
 
 
-def analysis_last(x, dec_lo, dec_hi):
-    """Single-level decimating analysis along the last axis.
-
-    Returns (lo, hi), each of length div2(N).
-    """
-    n = x.shape[-1]
-    hlen = len(dec_lo)
+def analysis_pads(hlen: int):
+    """(lpad, rpad) of the periodic padding used by ``analysis_last``."""
     s = hlen // 2
-    xe = _odd_extend_last(x)
-    m = xe.shape[-1]
-    L = m // 2
-    lpad, rpad = hlen - 1 - s, max(s - 1, 0)
-    xp = periodic_pad_last(xe, lpad, rpad)
-    # out[i] = sum_j g[j] * xp[2i + j], g = f reversed
+    return hlen - 1 - s, max(s - 1, 0)
+
+
+def analysis_core(xp, dec_lo, dec_hi, L: int):
+    """Decimating analysis on an already-padded signal:
+    out[i] = sum_j f_rev[j] * xp[2i + j] for i < L.
+
+    Shared by the single-device path (periodic pad) and the sharded path
+    (halo-exchanged pad).
+    """
+    hlen = len(dec_lo)
     even = xp[..., 0::2]
     odd = xp[..., 1::2]
-    flo = _as_taps(dec_lo, x.dtype)
-    fhi = _as_taps(dec_hi, x.dtype)
+    flo = _as_taps(dec_lo, xp.dtype)
+    fhi = _as_taps(dec_hi, xp.dtype)
     lo = None
     hi = None
     for j in range(hlen):
@@ -104,20 +104,48 @@ def analysis_last(x, dec_lo, dec_hi):
     return lo, hi
 
 
-def synthesis_last(lo, hi, rec_lo, rec_hi, n_out: int):
-    """Single-level upsampling synthesis along the last axis.
+def analysis_last(x, dec_lo, dec_hi):
+    """Single-level decimating analysis along the last axis.
 
-    lo/hi have length L = div2(n_out); returns length n_out.
-    Implements the reference's polyphase inverse including its even
-    half-length right-shift rule (separable.cu:252-264).
+    Returns (lo, hi), each of length div2(N).
     """
-    L = lo.shape[-1]
+    hlen = len(dec_lo)
+    xe = _odd_extend_last(x)
+    m = xe.shape[-1]
+    L = m // 2
+    lpad, rpad = analysis_pads(hlen)
+    xp = periodic_pad_last(xe, lpad, rpad)
+    return analysis_core(xp, dec_lo, dec_hi, L)
+
+
+def synthesis_pads(hlen: int, L: int, n_out: int):
+    """(lpad, rpad) of the periodic padding used by ``synthesis_core``."""
+    hlen2 = hlen // 2
+    sigma = 1 if hlen2 % 2 == 0 else 0
+    c = hlen2 // 2
+    Lout = (n_out + 1) // 2
+    lpad = c
+    rpad = max(((p + sigma) >> 1) - c + Lout + hlen2 - 1 - L
+               for p in (0, 1))
+    return lpad, max(rpad, 0)
+
+
+def synthesis_core(lop, hip, rec_lo, rec_hi, n_out: int, L: int,
+                   lpad: int):
+    """Upsampling synthesis on already-padded coefficient signals.
+
+    lop/hip carry ``lpad`` extra samples on the left (>= c) and enough on
+    the right (see ``synthesis_pads``); L is the unpadded coefficient
+    length, n_out the output length.  Implements the reference's polyphase
+    inverse including its even half-length right-shift rule
+    (separable.cu:252-264).
+    """
     hlen = len(rec_lo)
     hlen2 = hlen // 2
     sigma = 1 if hlen2 % 2 == 0 else 0
     c = hlen2 // 2
-    flo = _as_taps(rec_lo, lo.dtype)
-    fhi = _as_taps(rec_hi, lo.dtype)
+    flo = _as_taps(rec_lo, lop.dtype)
+    fhi = _as_taps(rec_hi, lop.dtype)
 
     Lout = (n_out + 1) // 2  # compute both parities at this length
     phases = []
@@ -125,12 +153,7 @@ def synthesis_last(lo, hi, rec_lo, rec_hi, n_out: int):
         pp = (p + sigma) & 1
         delta = (p + sigma) >> 1
         off = 1 - pp
-        start = delta - c
-        lpad = max(-start, 0)
-        rpad = max(start + Lout + hlen2 - 1 - L, 0)
-        lop = periodic_pad_last(lo, lpad, rpad)
-        hip = periodic_pad_last(hi, lpad, rpad)
-        base = start + lpad
+        base = lpad + delta - c
         acc = None
         for j in range(hlen2):
             tap = hlen - 1 - 2 * j - off
@@ -140,8 +163,21 @@ def synthesis_last(lo, hi, rec_lo, rec_hi, n_out: int):
             term = seg_l * gl + seg_h * gh
             acc = term if acc is None else acc + term
         phases.append(acc)
-    out = jnp.stack(phases, axis=-1).reshape(*lo.shape[:-1], 2 * Lout)
+    out = jnp.stack(phases, axis=-1).reshape(*lop.shape[:-1], 2 * Lout)
     return out[..., :n_out]
+
+
+def synthesis_last(lo, hi, rec_lo, rec_hi, n_out: int):
+    """Single-level upsampling synthesis along the last axis.
+
+    lo/hi have length L = div2(n_out); returns length n_out.
+    """
+    L = lo.shape[-1]
+    hlen = len(rec_lo)
+    lpad, rpad = synthesis_pads(hlen, L, n_out)
+    lop = periodic_pad_last(lo, lpad, rpad)
+    hip = periodic_pad_last(hi, lpad, rpad)
+    return synthesis_core(lop, hip, rec_lo, rec_hi, n_out, L, lpad)
 
 
 def swt_analysis_last(x, dec_lo, dec_hi, level: int):

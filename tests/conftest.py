@@ -21,6 +21,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The container's sitecustomize imports jax before this file runs, so the
+# env vars above may be read too late; force the platform through the
+# runtime config as well (backends are created lazily, so this sticks).
+jax.config.update("jax_platforms", "cpu")
+
 # float64 so the scalar-oracle comparisons are exact; production runs f32.
 jax.config.update("jax_enable_x64", True)
 
