@@ -4,25 +4,39 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Runs on whatever jax.devices() provides (the real TPU chip under the
 driver).  Extra diagnostic lines go to stderr.
 
+Measurement protocol (tools/ubench.py): the round trip runs as a long
+lax.scan whose carry is the image itself, synchronized by a host readback
+whose latency is calibrated out.  This defeats three platform hazards
+observed on the axon-tunneled TPU: block_until_ready returning before
+execution finishes, a results cache keyed on input bytes (persisting
+across processes), and loop-invariant hoisting of constant-input bodies.
+Chained timing serializes iterations, so it is a conservative lower bound
+on pipelined throughput.
+
 The reference publishes no numbers (BASELINE.md), so the baseline is our
-own first measurement on this hardware (BASELINE_FPS below); vs_baseline
-tracks progress across rounds.
+own first honest measurement on this hardware (BASELINE_FPS below);
+vs_baseline tracks progress across rounds.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-# First self-measured round-1 value on one TPU v5e chip (jnp core path).
-# Update only when re-baselining is explicitly intended.
-BASELINE_FPS = 1289.1
+# First honest round-1 measurement on the driver's TPU (jnp/XLA path,
+# chained protocol).  Update only when re-baselining is explicitly
+# intended.
+BASELINE_FPS = 2750.0
 
 
 def main():
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
     import jax
     import jax.numpy as jnp
+    import ubench
 
     from pypwt_tpu.filters import get_filter_bank
     from pypwt_tpu.core import dwt
@@ -31,41 +45,23 @@ def main():
     levels = 3
     fb = get_filter_bank("db2")
 
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.random((size, size), dtype=np.float32))
+    x0 = ubench.make_inputs((size, size))[0]
 
-    fwd = jax.jit(lambda x: dwt.wavedec2(x, fb, levels))
-    inv = jax.jit(lambda c: dwt.waverec2(c, fb, (size, size)))
+    def roundtrip(img):
+        return dwt.waverec2(dwt.wavedec2(img, fb, levels), fb, (size, size))
 
-    # warmup / compile
-    pyr = fwd(x)
-    y = inv(pyr)
-    jax.block_until_ready(y)
-    err = float(jnp.abs(y - x).max())
+    # correctness gate: lossless round trip within float32 envelope
+    y = jax.jit(roundtrip)(x0)
+    err = float(jnp.abs(y - x0).max())
     print(f"[bench] device={jax.devices()[0].device_kind} "
           f"roundtrip_err={err:.2e}", file=sys.stderr)
     assert err < 7e-4, "correctness gate failed"
 
-    def run(n):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            y = inv(fwd(x))
-        jax.block_until_ready(y)
-        return time.perf_counter() - t0
+    t = ubench.timeit_chained(roundtrip, x0, iters=256, reps=5)
+    fps = 1.0 / t
 
-    run(3)  # settle
-    n = 10
-    t = run(n)
-    if t < 0.5:
-        n = max(10, int(n * 1.0 / t))
-        t = run(n)
-    best = t / n
-    for _ in range(2):  # best-of-3 batches (reference bench.py style)
-        t = run(n)
-        best = min(best, t / n)
-
-    fps = 1.0 / best
     vs = fps / BASELINE_FPS if BASELINE_FPS else 1.0
+    print(f"[bench] chained {t * 1e6:.1f} us/frame", file=sys.stderr)
     print(json.dumps({
         "metric": "2D DWT+IDWT frames/s/chip (2048^2, db2, 3 levels)",
         "value": round(fps, 3),

@@ -15,10 +15,37 @@ batched-1D mode (pypwt.pyx:146-151).
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 from . import conv
 from .shapes import div2
+
+# Kernel selection: "pallas" runs the fused Pallas level kernels for shapes
+# they cover (falling back to jnp where uncovered); "jnp"/"auto" use the XLA
+# formulation.  Measured on TPU v5 (2048^2, db2, 3 levels, chained timing):
+# jnp round trip 363 us vs pallas 471 us — XLA's fusion currently beats the
+# hand kernels, whose transposed column pass is lane-starved, so "auto"
+# means jnp until the 2D-tiled kernel lands.
+_KERNEL_MODE = os.environ.get("PYPWT_KERNELS", "auto")
+
+
+def set_kernels(mode: str):
+    """Select the compute path: 'auto', 'jnp', or 'pallas'."""
+    global _KERNEL_MODE
+    if mode not in ("auto", "jnp", "pallas"):
+        raise ValueError("kernel mode must be auto|jnp|pallas")
+    _KERNEL_MODE = mode
+
+
+def _pallas_enabled():
+    return _KERNEL_MODE == "pallas"
+
+
+def _pk():
+    from ..ops import pallas_dwt
+    return pallas_dwt
 
 
 def dwt1d(x, fb):
@@ -35,8 +62,13 @@ def dwt2d(x, fb):
     """One separable 2D analysis level -> (a, h, v, d).
 
     Pass 1 filters the last (column) axis, pass 2 the row axis, exactly the
-    reference's kernel pair (separable.cu:91-176).
+    reference's kernel pair (separable.cu:91-176).  On TPU, covered shapes
+    run as one fused Pallas kernel (ops/pallas_dwt.py).
     """
+    if _pallas_enabled():
+        r = _pk().dwt2d_fused(x, fb)
+        if r is not None:
+            return r
     t1, t2 = conv.analysis_last(x, fb.dec_lo, fb.dec_hi)
     t1 = jnp.swapaxes(t1, -1, -2)
     t2 = jnp.swapaxes(t2, -1, -2)
@@ -48,6 +80,10 @@ def dwt2d(x, fb):
 
 def idwt2d(a, h, v, d, fb, out_shape):
     """One separable 2D synthesis level -> image of ``out_shape``."""
+    if _pallas_enabled():
+        r = _pk().idwt2d_fused(a, h, v, d, fb, out_shape)
+        if r is not None:
+            return r
     nr, nc = out_shape[-2], out_shape[-1]
     at = jnp.swapaxes(a, -1, -2)
     ht = jnp.swapaxes(h, -1, -2)

@@ -1,0 +1,359 @@
+"""Fused separable 2D DWT level kernels (Pallas / Mosaic-TPU).
+
+One analysis level of the reference runs as two CUDA kernels with an HBM
+round-trip between them (pdwt/src/separable.cu:91-176: pass1 writes the
+row-filtered planes to global memory, pass2 re-reads them); the jnp path
+inherits the same structure.  Here each level is ONE kernel: a grid program
+loads a band of image rows (plus its periodic halo rows, fetched by extra
+block inputs whose index maps wrap modulo the grid), runs both separable
+passes entirely in VMEM, and writes the four subband tiles.  HBM traffic
+per level drops from 2x(in+out) to (in+out).
+
+The synthesis kernel fuses the polyphase upsample-convolve pair
+(separable.cu:246-328) the same way: coefficient bands + halos in, one
+reconstructed band out.
+
+Mosaic notes (empirically, jax 0.9 / TPU v5e): strided slices and
+lane-axis interleaves don't lower, so decimation/interleaving always runs
+on the sublane axis — reshape (2n, w)->(n, 2, w) to split parities,
+stack+reshape to merge them — and the column pass transposes in VMEM
+first.  The row pass therefore runs BEFORE the column pass (separable
+passes commute), so only the already-decimated planes are transposed.
+
+Index algebra is identical to pypwt_tpu.core.conv (the correctness oracle);
+filters are baked into the kernel as compile-time scalar constants — the
+TPU analog of the reference's CUDA constant memory (common.h:15-37).
+
+Only float32, even sizes, and row counts divisible by the band size are
+handled; everything else falls back to the jnp path (core/dwt.py dispatch).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import conv
+
+# Flipped to True by tests running on CPU (interpret mode); on a TPU
+# backend the kernels compile natively.
+_FORCE_INTERPRET = False
+
+
+def _interpret():
+    return _FORCE_INTERPRET or jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Band / halo geometry
+# ---------------------------------------------------------------------------
+
+# Working-set cap per program.  The estimate in _pick_bands undercounts
+# Mosaic's stack temporaries by ~3x (measured: a 6 MB estimate compiled to a
+# 16.5 MB scoped allocation), so this is set well below the 16 MB VMEM.
+_VMEM_BUDGET = int(3.5 * 1024 * 1024)
+
+
+def _pick_bands(n_rows, n_cols, lpad, rpad, n_bufs):
+    """Choose (body_rows IB, halo_block H) or None if not tileable.
+
+    IB divides n_rows; H divides both n_rows and IB and covers the halo.
+    ``n_bufs`` approximates how many band-sized f32 planes live in VMEM at
+    once (input band + intermediates + outputs).
+    """
+    halo = max(lpad, rpad, 1)
+    hh = None
+    for cand in (8, 16, 32):
+        if cand >= halo and n_rows % cand == 0:
+            hh = cand
+            break
+    if hh is None:
+        return None
+    for ib in (512, 256, 128, 64, 32, 16, 8):
+        if n_rows % ib or ib % hh:
+            continue
+        ws = (lpad + ib + rpad + 2 * hh) * n_cols * 4 * n_bufs
+        if ws <= _VMEM_BUDGET:
+            return ib, hh
+    return None
+
+
+def _halo_specs(body_rows, halo_rows, total_rows, n_cols):
+    """(top, body, bottom) BlockSpecs for one input with periodic row halo.
+
+    The top halo is the ``halo_rows``-row block ending at the band start,
+    the bottom halo the block starting at the band end, both wrapped modulo
+    the array height — the in-kernel analog of the reference's per-thread
+    periodic indexing (separable.cu:112-121).
+    """
+    bib = body_rows // halo_rows
+    gh = total_rows // halo_rows
+    top = pl.BlockSpec((halo_rows, n_cols),
+                       lambda i, bib=bib, gh=gh: ((i * bib - 1) % gh, 0),
+                       memory_space=pltpu.VMEM)
+    body = pl.BlockSpec((body_rows, n_cols), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    bot = pl.BlockSpec((halo_rows, n_cols),
+                       lambda i, bib=bib, gh=gh: (((i + 1) * bib) % gh, 0),
+                       memory_space=pltpu.VMEM)
+    return top, body, bot
+
+
+def _taps(f):
+    return tuple(float(v) for v in np.asarray(f, dtype=np.float64))
+
+
+def _gather_rows(top, body, bot, lpad, rpad):
+    """Concatenate halo and body rows into the padded band."""
+    hr = top.shape[0]
+    parts = []
+    if lpad:
+        parts.append(top[hr - lpad:, :])
+    parts.append(body[:, :])
+    if rpad:
+        parts.append(bot[:rpad, :])
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+# ---------------------------------------------------------------------------
+# In-kernel 1D primitives (same algebra as core/conv.py, sublane axis only)
+# ---------------------------------------------------------------------------
+
+def _split_parity(t):
+    """(2n, w) -> even rows, odd rows ((n, w) each) without strided slices."""
+    n2, w = t.shape
+    pairs = t.reshape(n2 // 2, 2, w)
+    return pairs[:, 0, :], pairs[:, 1, :]
+
+
+def _merge_parity(p0, p1):
+    """Interleave two (n, w) planes into (2n, w)."""
+    n, w = p0.shape
+    return jnp.stack([p0, p1], axis=1).reshape(2 * n, w)
+
+
+def _analysis_sub(t, flo, fhi, L):
+    """Decimating analysis along axis 0 of an already-padded array."""
+    hlen = len(flo)
+    even, odd = _split_parity(t)
+    lo = None
+    hi = None
+    for j in range(hlen):
+        src = even if j % 2 == 0 else odd
+        seg = src[j // 2: j // 2 + L, :]
+        gl, gh = flo[hlen - 1 - j], fhi[hlen - 1 - j]
+        lo = seg * gl if lo is None else lo + seg * gl
+        hi = seg * gh if hi is None else hi + seg * gh
+    return lo, hi
+
+
+def _analysis_cols(t, flo, fhi, lpad, rpad):
+    """Decimating analysis along the lane axis via transpose."""
+    tt = t.T  # (n_cols, rows)
+    n = tt.shape[0]
+    parts = []
+    if lpad:
+        parts.append(tt[n - lpad:, :])
+    parts.append(tt)
+    if rpad:
+        parts.append(tt[:rpad, :])
+    tp = jnp.concatenate(parts, axis=0) if len(parts) > 1 else tt
+    lo, hi = _analysis_sub(tp, flo, fhi, n // 2)
+    return lo.T, hi.T
+
+
+def _synthesis_sub(lop, hip, flo, fhi, Lout, lpad):
+    """Polyphase upsample-convolve along axis 0 of already-padded planes
+    (separable.cu:252-287 algebra, shared with conv.synthesis_core)."""
+    hlen = len(flo)
+    hlen2 = hlen // 2
+    sigma = 1 if hlen2 % 2 == 0 else 0
+    c = hlen2 // 2
+    phases = []
+    for p in (0, 1):
+        pp = (p + sigma) & 1
+        delta = (p + sigma) >> 1
+        off = 1 - pp
+        base = lpad + delta - c
+        acc = None
+        for j in range(hlen2):
+            tap = hlen - 1 - 2 * j - off
+            gl, gh = flo[tap], fhi[tap]
+            seg = (lop[base + j: base + j + Lout, :] * gl
+                   + hip[base + j: base + j + Lout, :] * gh)
+            acc = seg if acc is None else acc + seg
+        phases.append(acc)
+    return _merge_parity(phases[0], phases[1])
+
+
+def _synthesis_cols(lo, hi, flo, fhi, lpad, rpad, n_out):
+    """Polyphase synthesis along the lane axis via transpose."""
+    lot = lo.T
+    hit = hi.T
+    n = lot.shape[0]
+    parts_l, parts_h = [], []
+    if lpad:
+        parts_l.append(lot[n - lpad:, :])
+        parts_h.append(hit[n - lpad:, :])
+    parts_l.append(lot)
+    parts_h.append(hit)
+    if rpad:
+        parts_l.append(lot[:rpad, :])
+        parts_h.append(hit[:rpad, :])
+    lop = jnp.concatenate(parts_l, axis=0) if len(parts_l) > 1 else lot
+    hip = jnp.concatenate(parts_h, axis=0) if len(parts_h) > 1 else hit
+    return _synthesis_sub(lop, hip, flo, fhi, n_out // 2, lpad).T
+
+
+# ---------------------------------------------------------------------------
+# Fused analysis level
+# ---------------------------------------------------------------------------
+
+def _dwt2d_kernel(flo, fhi, lpr, rpr, lpc, rpc, ib,
+                  top_ref, body_ref, bot_ref,
+                  a_ref, h_ref, v_ref, d_ref):
+    rows = _gather_rows(top_ref, body_ref, bot_ref, lpr, rpr)
+    # row pass first (passes commute; this transposes half the data)
+    lo_r, hi_r = _analysis_sub(rows, flo, fhi, ib // 2)
+    a, v = _analysis_cols(lo_r, flo, fhi, lpc, rpc)
+    h, d = _analysis_cols(hi_r, flo, fhi, lpc, rpc)
+    a_ref[:, :] = a
+    h_ref[:, :] = h
+    v_ref[:, :] = v
+    d_ref[:, :] = d
+
+
+@functools.lru_cache(maxsize=512)
+def _build_dwt2d(nr, nc, flo, fhi, interpret):
+    hlen = len(flo)
+    if hlen % 2:
+        return None  # padded band parity math assumes even filter length
+    lp, rp = conv.analysis_pads(hlen)
+    bands = _pick_bands(nr, nc, lp, rp, n_bufs=5)
+    if bands is None:
+        return None
+    ib, hh = bands
+    tr, tc = ib // 2, nc // 2
+    grid = nr // ib
+
+    top, body, bot = _halo_specs(ib, hh, nr, nc)
+    out_spec = pl.BlockSpec((tr, tc), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr // 2, tc), jnp.float32)
+
+    kern = functools.partial(_dwt2d_kernel, flo, fhi, lp, rp, lp, rp, ib)
+    call = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[top, body, bot],
+        out_specs=[out_spec] * 4,
+        out_shape=[out_sds] * 4,
+        interpret=interpret,
+    )
+
+    def fused(x):
+        return call(x, x, x)
+
+    return fused
+
+
+def dwt2d_fused(x, fb):
+    """One fused separable analysis level; None if the kernel doesn't
+    cover this configuration (caller falls back to the jnp path)."""
+    if x.ndim not in (2, 3) or x.dtype != jnp.float32:
+        return None
+    nr, nc = x.shape[-2], x.shape[-1]
+    if nr % 2 or nc % 2:
+        return None
+    f = _build_dwt2d(nr, nc, _taps(fb.dec_lo), _taps(fb.dec_hi),
+                     _interpret())
+    if f is None:
+        return None
+    if x.ndim == 3:
+        return tuple(jax.vmap(f)(x))
+    return tuple(f(x))
+
+
+# ---------------------------------------------------------------------------
+# Fused synthesis level
+# ---------------------------------------------------------------------------
+
+def _idwt2d_kernel(flo, fhi, lpr, rpr, lpc, rpc, tc, nc_out,
+                   a_top, a_body, a_bot, h_top, h_body, h_bot,
+                   v_top, v_body, v_bot, d_top, d_body, d_bot,
+                   out_ref):
+    ar = _gather_rows(a_top, a_body, a_bot, lpr, rpr)
+    hr = _gather_rows(h_top, h_body, h_bot, lpr, rpr)
+    vr = _gather_rows(v_top, v_body, v_bot, lpr, rpr)
+    dr = _gather_rows(d_top, d_body, d_bot, lpr, rpr)
+
+    # row-axis synthesis (reference pass1, separable.cu:246-287)
+    t1 = _synthesis_sub(ar, hr, flo, fhi, tc, lpr)
+    t2 = _synthesis_sub(vr, dr, flo, fhi, tc, lpr)
+
+    # column-axis synthesis (reference pass2)
+    out_ref[:, :] = _synthesis_cols(t1, t2, flo, fhi, lpc, rpc, nc_out)
+
+
+@functools.lru_cache(maxsize=512)
+def _build_idwt2d(nr_out, nc_out, flo, fhi, interpret):
+    hlen = len(flo)
+    if hlen % 2 or nr_out % 2 or nc_out % 2:
+        return None
+    lrows = nr_out // 2
+    w = nc_out // 2
+    lp, rp = conv.synthesis_pads(hlen, lrows, nr_out)
+    lpc, rpc = conv.synthesis_pads(hlen, w, nc_out)
+    bands = _pick_bands(lrows, w, lp, rp, n_bufs=14)
+    if bands is None:
+        return None
+    tcb, hh = bands  # coefficient rows per program
+    if (lp + tcb + rp) % 2:
+        return None
+    grid = lrows // tcb
+
+    top, body, bot = _halo_specs(tcb, hh, lrows, w)
+    in_specs = [top, body, bot] * 4
+    out_spec = pl.BlockSpec((2 * tcb, nc_out), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr_out, nc_out), jnp.float32)
+
+    kern = functools.partial(_idwt2d_kernel, flo, fhi, lp, rp, lpc, rpc,
+                             tcb, nc_out)
+    call = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_sds,
+        interpret=interpret,
+    )
+
+    def fused(a, h, v, d):
+        return call(a, a, a, h, h, h, v, v, v, d, d, d)
+
+    return fused
+
+
+def idwt2d_fused(a, h, v, d, fb, out_shape):
+    """One fused separable synthesis level; None if uncovered."""
+    nr, nc = out_shape[-2], out_shape[-1]
+    if a.dtype != jnp.float32 or a.ndim not in (2, 3):
+        return None
+    if (nr, nc) != (2 * a.shape[-2], 2 * a.shape[-1]):
+        return None  # odd-size levels fall back
+    if not (a.shape == h.shape == v.shape == d.shape):
+        return None
+    f = _build_idwt2d(nr, nc, _taps(fb.rec_lo), _taps(fb.rec_hi),
+                      _interpret())
+    if f is None:
+        return None
+    if a.ndim == 3:
+        return jax.vmap(f)(a, h, v, d)
+    return f(a, h, v, d)

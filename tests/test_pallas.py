@@ -1,0 +1,77 @@
+"""Fused Pallas level kernels vs the jnp oracle (interpret mode on CPU).
+
+Mirrors the reference's differential strategy (SURVEY.md §4): every subband
+of the fused analysis kernel must match the two-pass jnp path, and the
+fused round trip must reconstruct the image, across filter lengths, odd
+band geometries, and batched inputs.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pypwt_tpu.filters import get_filter_bank
+from pypwt_tpu.core import dwt
+from pypwt_tpu.ops import pallas_dwt as pk
+
+WAVELETS = ["haar", "db2", "db8", "sym5", "coif2", "bior3.5", "rbio2.4"]
+
+
+def _rand(shape):
+    return jnp.asarray(
+        np.random.default_rng(42).random(shape, dtype=np.float32))
+
+
+@pytest.mark.parametrize("wname", WAVELETS)
+@pytest.mark.parametrize("shape", [(64, 128), (128, 64), (256, 256)])
+def test_fused_analysis_matches_jnp(wname, shape):
+    fb = get_filter_bank(wname)
+    x = _rand(shape)
+    ref = dwt.dwt2d(x, fb)
+    got = pk.dwt2d_fused(x, fb)
+    assert got is not None
+    for g, r in zip(got, ref):
+        assert float(jnp.abs(g - r.astype(jnp.float32)).max()) < 2e-5
+
+
+@pytest.mark.parametrize("wname", WAVELETS)
+def test_fused_roundtrip(wname):
+    fb = get_filter_bank(wname)
+    shape = (128, 256)
+    x = _rand(shape)
+    c = pk.dwt2d_fused(x, fb)
+    y = pk.idwt2d_fused(*c, fb, shape)
+    assert y is not None
+    assert float(jnp.abs(y - x).max()) < 5e-6
+
+
+def test_fused_batched_vmap():
+    fb = get_filter_bank("db3")
+    x = _rand((3, 64, 128))
+    ref = dwt.dwt2d(x, fb)
+    got = pk.dwt2d_fused(x, fb)
+    assert got is not None
+    for g, r in zip(got, ref):
+        assert g.shape == r.shape
+        assert float(jnp.abs(g - r.astype(jnp.float32)).max()) < 2e-5
+    y = pk.idwt2d_fused(*got, fb, x.shape)
+    assert float(jnp.abs(y - x).max()) < 5e-6
+
+
+def test_fallback_on_odd_sizes():
+    fb = get_filter_bank("db2")
+    assert pk.dwt2d_fused(_rand((63, 128)), fb) is None
+    assert pk.dwt2d_fused(_rand((64, 127)), fb) is None
+
+
+def test_dispatch_mode_switch():
+    fb = get_filter_bank("db4")
+    x = _rand((64, 64))
+    dwt.set_kernels("jnp")
+    ref = dwt.dwt2d(x, fb)
+    dwt.set_kernels("pallas")
+    got = dwt.dwt2d(x, fb)
+    dwt.set_kernels("auto")
+    for g, r in zip(got, ref):
+        assert float(jnp.abs(g - r.astype(jnp.float32)).max()) < 2e-5

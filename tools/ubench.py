@@ -1,0 +1,101 @@
+"""Honest device timing on the axon-tunneled TPU.
+
+Platform behaviors that make naive timing lie (all observed here):
+
+1. ``jax.block_until_ready`` DOES NOT WAIT on this platform — it returns
+   in microseconds while the device is still executing.  The only true
+   synchronization is a device-to-host readback (which itself costs
+   ~35 ms through the tunnel).
+2. Executions can be served from a results cache keyed on input contents,
+   persisting across processes: timed inputs must be value-unique per run
+   (OS-seeded RNG, not fixed seeds).
+3. Inside jit, loop-invariant computation is hoisted out of ``lax.scan``:
+   the scanned body must depend on the carry.
+
+``timeit_chained`` is the measurement primitive: a long lax.scan whose
+carry is the data (defeats 2 and 3), timed together with a one-element
+readback (defeats 1), with the readback latency calibrated and
+subtracted.  Throughput-style measurement of independent dispatches is
+not reliably possible here; chained timing is a conservative
+(dependency-serialized) lower bound on throughput.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# Unique values per run: the execution cache persists across processes.
+_rng = np.random.default_rng()
+
+
+def make_inputs(shape, n=1, dtype=np.float32):
+    return [jnp.asarray(_rng.random(shape, dtype=dtype)) for _ in range(n)]
+
+
+def _sync(x):
+    """True device synchronization: read one element back to host."""
+    return float(jnp.ravel(x)[0])
+
+
+def readback_latency(x, reps=3):
+    """Calibrate the D2H one-element readback cost."""
+    _sync(x)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _sync(x)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def timeit_chained(step, x0, iters=128, reps=3, return_overhead=False):
+    """Seconds per application of a shape-preserving ``step``.
+
+    Runs ``iters`` dependent applications inside one jitted scan, syncs by
+    host readback, subtracts the calibrated readback latency, and returns
+    the median over ``reps`` regions (after one discarded drain region).
+    """
+    def body(c, _):
+        return step(c), None
+
+    g = jax.jit(lambda a: jax.lax.scan(body, a, None, length=iters)[0])
+
+    def fresh():
+        a = x0 * np.float32(_rng.uniform(0.5, 2.0))
+        _sync(a)
+        return a
+
+    out = g(fresh())
+    _sync(out)                       # compile + drain
+    rb = readback_latency(out)
+    times = []
+    for _ in range(reps):
+        a = fresh()
+        t0 = time.perf_counter()
+        out = g(a)
+        _sync(out)
+        times.append(time.perf_counter() - t0)
+    t = (float(np.median(times)) - rb) / iters
+    if return_overhead:
+        return t, rb
+    return max(t, 0.0)
+
+
+def timeit(fn, x0, iters=128, reps=3, shape_adapter=None):
+    """Time ``fn`` whose output shape differs from its input: chain through
+    ``shape_adapter(out, x_prev) -> next input`` (default: broadcast-add of
+    a scalar derived from the output, keeping the carry shape)."""
+    if shape_adapter is None:
+        def shape_adapter(out, x_prev):
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return x_prev + jnp.ravel(leaf)[0] * np.float32(1e-12)
+
+    def step(c):
+        return shape_adapter(fn(c), c)
+
+    return timeit_chained(step, x0, iters=iters, reps=reps)
