@@ -23,11 +23,13 @@ from .filters import (FilterBank, get_filter_bank,  # noqa: F401
 from .version import __version__  # noqa: F401
 
 from .core import conv, dwt, haar, nonsep, shapes, swt, thresh  # noqa: F401
+from . import runtime  # noqa: F401  (native planner/IO/loader/checkpoint)
 
 __all__ = [
     "Wavelets",
     "FilterBank",
     "get_filter_bank",
     "wavelist",
+    "runtime",
     "__version__",
 ]
