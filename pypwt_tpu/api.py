@@ -132,7 +132,17 @@ class Wavelets:
     """
 
     def __init__(self, img, wname, levels, do_separable=1,
-                 do_cycle_spinning=0, do_swt=0, ndim=2, seed=None):
+                 do_cycle_spinning=0, do_swt=0, ndim=2, seed=None,
+                 dtype=np.float32):
+        # float32 default; float64 is the reference's -DDOUBLEPRECISION
+        # build option (filters.h:16-30), here a constructor argument.
+        self.dtype = np.dtype(dtype)
+        if self.dtype not in (np.dtype(np.float32), np.dtype(np.float64)):
+            raise ValueError("dtype must be float32 or float64")
+        if self.dtype == np.float64 and not jax.config.jax_enable_x64:
+            raise ValueError(
+                "dtype=float64 requires jax_enable_x64 "
+                "(jax.config.update('jax_enable_x64', True))")
         img = self._checkarray(img)
         ndim = min(int(ndim), 2)
 
@@ -183,18 +193,17 @@ class Wavelets:
         self.current_shift = (0, 0)
         self._state = W_INIT
 
-        self._image = jnp.asarray(img, dtype=jnp.float32)
+        self._image = jnp.asarray(img, dtype=self.dtype)
         self._coeffs = self._zero_coeffs()
 
     # ------------------------------------------------------------------
     # plumbing
     # ------------------------------------------------------------------
 
-    @staticmethod
-    def _checkarray(arr, shp=None):
+    def _checkarray(self, arr, shp=None):
         res = np.asarray(arr)
-        if res.dtype != np.float32 or not res.flags["C_CONTIGUOUS"]:
-            res = np.ascontiguousarray(res, dtype=np.float32)
+        if res.dtype != self.dtype or not res.flags["C_CONTIGUOUS"]:
+            res = np.ascontiguousarray(res, dtype=self.dtype)
         if shp is not None:
             if res.ndim != len(shp):
                 raise ValueError(
@@ -228,21 +237,23 @@ class Wavelets:
 
     def _zero_coeffs(self):
         z = []
+        dt = self.dtype
         a_shape = self._coeff_shape(self.levels - 1)
-        z.append(jnp.zeros(a_shape, jnp.float32))
+        z.append(jnp.zeros(a_shape, dt))
         for i in range(self.levels):
             s = self._coeff_shape(i)
             if self._eff_ndim == 2:
-                z.append(tuple(jnp.zeros(s, jnp.float32) for _ in range(3)))
+                z.append(tuple(jnp.zeros(s, dt) for _ in range(3)))
             else:
-                z.append(jnp.zeros(s, jnp.float32))
+                z.append(jnp.zeros(s, dt))
         return z
 
     def _plan(self):
         key_shape = self.shape
         bank_key = _key_of_bank(self._fb if self.do_separable else self._f2d)
         return _plan_cache(
-            key_shape, "float32", bank_key, self.levels, self._eff_ndim,
+            key_shape, str(self.dtype), bank_key, self.levels,
+            self._eff_ndim,
             self.do_swt, bool(self.do_separable), bool(self.batched1d),
             _HashableRef((self._fb, self._f2d)))
 
@@ -467,12 +478,17 @@ class Wavelets:
         Non-separable: lowpass/highpass are the LL/HH 2D filters plus the
         LH/HL ones (and their inverses).
         """
+        lowpass = np.asarray(lowpass, dtype=np.float64)
         arrays = [lowpass, highpass, i_lowpass, i_highpass, LH, HL, i_LH,
                   i_HL]
         if any(a is not None and len(a) != len(lowpass) for a in arrays):
             raise ValueError("All filters must have the same length")
         if len(lowpass) > MAX_FILTER_WIDTH:
             raise ValueError("filter too long (max %d)" % MAX_FILTER_WIDTH)
+        if not self.do_separable and lowpass.ndim != 2:
+            raise ValueError(
+                "non-separable custom filters must be 2D square arrays "
+                "(pypwt.pyx:487-576 passes LL/LH/HL/HH planes)")
 
         if self.do_separable:
             self._fb = FilterBank.custom(filter_name, lowpass, highpass,
