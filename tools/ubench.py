@@ -56,23 +56,43 @@ def readback_latency(x, reps=3):
 def timeit_chained(step, x0, iters=128, reps=3, return_overhead=False):
     """Seconds per application of a shape-preserving ``step``.
 
-    Runs ``iters`` dependent applications inside one jitted scan, syncs by
-    host readback, subtracts the calibrated readback latency, and returns
-    the median over ``reps`` regions (after one discarded drain region).
+    Runs dependent applications inside one jitted scan, syncs by host
+    readback, subtracts the calibrated readback latency, and returns the
+    median over ``reps`` regions (after one discarded drain region).  The
+    scan length grows until the region dwarfs the readback jitter, so
+    fast ops on small shapes are measured accurately too.
     """
-    def body(c, _):
-        return step(c), None
-
-    g = jax.jit(lambda a: jax.lax.scan(body, a, None, length=iters)[0])
+    def make(n):
+        def body(c, _):
+            return step(c), None
+        return jax.jit(
+            lambda a: jax.lax.scan(body, a, None, length=n)[0])
 
     def fresh():
         a = x0 * np.float32(_rng.uniform(0.5, 2.0))
         _sync(a)
         return a
 
+    g = make(iters)
     out = g(fresh())
     _sync(out)                       # compile + drain
     rb = readback_latency(out)
+
+    # adapt: one region should take >= 20x the readback latency
+    for _ in range(6):
+        a = fresh()
+        t0 = time.perf_counter()
+        out = g(a)
+        _sync(out)
+        region = time.perf_counter() - t0
+        if region >= 20.0 * rb or iters >= 1 << 16:
+            break
+        scale = max(2, int(20.0 * rb / max(region - rb, rb / 4)))
+        iters = min(iters * scale, 1 << 16)
+        g = make(iters)
+        out = g(fresh())
+        _sync(out)
+
     times = []
     for _ in range(reps):
         a = fresh()
@@ -81,9 +101,10 @@ def timeit_chained(step, x0, iters=128, reps=3, return_overhead=False):
         _sync(out)
         times.append(time.perf_counter() - t0)
     t = (float(np.median(times)) - rb) / iters
+    t = max(t, 1e-12)
     if return_overhead:
         return t, rb
-    return max(t, 0.0)
+    return t
 
 
 def timeit(fn, x0, iters=128, reps=3, shape_adapter=None):
