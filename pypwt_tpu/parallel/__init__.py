@@ -1,1 +1,2 @@
 from . import batch, mesh, spatial  # noqa: F401
+from .api import BatchedWavelets  # noqa: F401
