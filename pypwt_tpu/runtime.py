@@ -28,7 +28,7 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, os.pardir, "native", "pwt_runtime.cpp")
+_SRC = os.path.join(_HERE, "native", "pwt_runtime.cpp")
 _LIB_DIR = os.path.join(_HERE, "_native")
 _LIB = os.path.join(_LIB_DIR, "libpwt_runtime.so")
 
