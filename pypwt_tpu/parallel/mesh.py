@@ -17,6 +17,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 BATCH_AXIS = "data"
 ROW_AXIS = "rows"
+COL_AXIS = "cols"
 
 
 def make_mesh(n_data: int | None = None, n_rows: int = 1,
@@ -28,6 +29,15 @@ def make_mesh(n_data: int | None = None, n_rows: int = 1,
         n_data = len(devices) // n_rows
     use = np.asarray(devices[: n_data * n_rows]).reshape(n_data, n_rows)
     return Mesh(use, (BATCH_AXIS, ROW_AXIS))
+
+
+def make_mesh2d(n_rows: int, n_cols: int, devices=None) -> Mesh:
+    """A (rows, cols) mesh for grid-sharding one large image across chips
+    in both spatial dimensions."""
+    if devices is None:
+        devices = jax.devices()
+    use = np.asarray(devices[: n_rows * n_cols]).reshape(n_rows, n_cols)
+    return Mesh(use, (ROW_AXIS, COL_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -239,3 +239,139 @@ def iswt2d_rowsharded(coeffs, fb, mesh, batched=False):
         lambda c: _local_iswt2(c, fb, ROW_AXIS, n_rows),
         mesh=mesh, in_specs=(spec,), out_specs=spec)
     return jax.jit(fn)(coeffs)
+
+
+# ---------------------------------------------------------------------------
+# Grid sharding: both image axes sharded (rows x cols mesh), halo exchange
+# on both; and long-signal 1D sharding (the "sequence-parallel" analog:
+# the sequence axis is the signal axis, SURVEY.md §5)
+# ---------------------------------------------------------------------------
+
+from .mesh import COL_AXIS  # noqa: E402
+
+
+def _analysis_axis_sharded(x, fb, axis, axis_name, axis_size):
+    """Decimating analysis along ``axis`` with periodic halo exchange."""
+    hlen = len(fb.dec_lo)
+    xt = x if axis in (-1, x.ndim - 1) else jnp.swapaxes(x, axis, -1)
+    lpad, rpad = conv.analysis_pads(hlen)
+    xp = halo_exchange_last(xt, lpad, rpad, axis_name, axis_size)
+    lo, hi = conv.analysis_core(xp, fb.dec_lo, fb.dec_hi,
+                                xt.shape[-1] // 2)
+    if axis not in (-1, x.ndim - 1):
+        lo = jnp.swapaxes(lo, axis, -1)
+        hi = jnp.swapaxes(hi, axis, -1)
+    return lo, hi
+
+
+def _synthesis_axis_sharded(lo, hi, fb, axis, axis_name, axis_size):
+    """Upsampling synthesis along ``axis`` with halo exchange."""
+    hlen = len(fb.rec_lo)
+    lot = lo if axis in (-1, lo.ndim - 1) else jnp.swapaxes(lo, axis, -1)
+    hit = hi if axis in (-1, hi.ndim - 1) else jnp.swapaxes(hi, axis, -1)
+    L = lot.shape[-1]
+    n_out = 2 * L
+    lpad, rpad = conv.synthesis_pads(hlen, L, n_out)
+    lop = halo_exchange_last(lot, lpad, rpad, axis_name, axis_size)
+    hip = halo_exchange_last(hit, lpad, rpad, axis_name, axis_size)
+    out = conv.synthesis_core(lop, hip, fb.rec_lo, fb.rec_hi, n_out, L,
+                              lpad)
+    if axis not in (-1, lo.ndim - 1):
+        out = jnp.swapaxes(out, axis, -1)
+    return out
+
+
+def _local_wavedec2_grid(x, fb, levels, n_rows, n_cols):
+    a = x
+    details = []
+    for _ in range(levels):
+        t1, t2 = _analysis_axis_sharded(a, fb, -1, COL_AXIS, n_cols)
+        a, h = _analysis_axis_sharded(t1, fb, -2, ROW_AXIS, n_rows)
+        v, d = _analysis_axis_sharded(t2, fb, -2, ROW_AXIS, n_rows)
+        details.append((h, v, d))
+    return [a] + details
+
+
+def _local_waverec2_grid(coeffs, fb, n_rows, n_cols):
+    levels = len(coeffs) - 1
+    a = coeffs[0]
+    for lev in range(levels, 0, -1):
+        h, v, d = coeffs[lev]
+        t1 = _synthesis_axis_sharded(a, h, fb, -2, ROW_AXIS, n_rows)
+        t2 = _synthesis_axis_sharded(v, d, fb, -2, ROW_AXIS, n_rows)
+        a = _synthesis_axis_sharded(t1, t2, fb, -1, COL_AXIS, n_cols)
+    return a
+
+
+def _check_grid(nr, nc, levels, n_rows, n_cols):
+    if nr % (n_rows << levels) or nc % (n_cols << levels):
+        raise ValueError(
+            f"({nr}, {nc}) cannot be grid-sharded over ({n_rows}, "
+            f"{n_cols}) chips for {levels} levels")
+
+
+def wavedec2_gridsharded(image, fb, levels, mesh):
+    """Multi-level separable 2D forward transform of an image sharded over
+    a (rows, cols) mesh in BOTH spatial axes; halos ride ppermute on each
+    ring, so arbitrarily large single images scale to a pod."""
+    nr, nc = image.shape[-2], image.shape[-1]
+    n_rows = mesh.shape[ROW_AXIS]
+    n_cols = mesh.shape[COL_AXIS]
+    _check_grid(nr, nc, levels, n_rows, n_cols)
+    spec = P(ROW_AXIS, COL_AXIS)
+    fn = shard_map(
+        lambda x: _local_wavedec2_grid(x, fb, levels, n_rows, n_cols),
+        mesh=mesh, in_specs=(spec,), out_specs=spec)
+    return jax.jit(fn)(image)
+
+
+def waverec2_gridsharded(coeffs, fb, mesh):
+    n_rows = mesh.shape[ROW_AXIS]
+    n_cols = mesh.shape[COL_AXIS]
+    spec = P(ROW_AXIS, COL_AXIS)
+    fn = shard_map(
+        lambda c: _local_waverec2_grid(c, fb, n_rows, n_cols),
+        mesh=mesh, in_specs=(spec,), out_specs=spec)
+    return jax.jit(fn)(coeffs)
+
+
+def wavedec1_seqsharded(x, fb, levels, mesh, axis_name=ROW_AXIS):
+    """Multi-level 1D transform of signals whose LAST axis is sharded
+    across chips — the long-signal ("sequence-parallel") configuration.
+    Leading axes (if any) are local/batch."""
+    n = x.shape[-1]
+    n_shards = mesh.shape[axis_name]
+    if n % (n_shards << levels):
+        raise ValueError(
+            f"signal length {n} cannot be sharded over {n_shards} chips "
+            f"for {levels} levels")
+    spec = P(*([None] * (x.ndim - 1)), axis_name)
+
+    def local(xl):
+        a = xl
+        details = []
+        for _ in range(levels):
+            a, dd = _analysis_axis_sharded(a, fb, -1, axis_name, n_shards)
+            details.append(dd)
+        return [a] + details
+
+    fn = shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    return jax.jit(fn)(x)
+
+
+def waverec1_seqsharded(coeffs, fb, mesh, axis_name=ROW_AXIS):
+    """Inverse of ``wavedec1_seqsharded``."""
+    n_shards = mesh.shape[axis_name]
+    ndim = coeffs[0].ndim
+    spec = P(*([None] * (ndim - 1)), axis_name)
+
+    def local(c):
+        levels = len(c) - 1
+        a = c[0]
+        for lev in range(levels, 0, -1):
+            a = _synthesis_axis_sharded(a, c[lev], fb, -1, axis_name,
+                                        n_shards)
+        return a
+
+    fn = shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    return jax.jit(fn)(coeffs)
