@@ -22,12 +22,12 @@ import jax.numpy as jnp
 from . import conv
 from .shapes import div2
 
-# Kernel selection: "pallas" runs the fused Pallas level kernels for shapes
-# they cover (falling back to jnp where uncovered); "jnp"/"auto" use the XLA
-# formulation.  Measured on TPU v5 (2048^2, db2, 3 levels, chained timing):
-# jnp round trip 363 us vs pallas 471 us — XLA's fusion currently beats the
-# hand kernels, whose transposed column pass is lane-starved, so "auto"
-# means jnp until the 2D-tiled kernel lands.
+# Kernel selection: "auto" runs the fused Pallas level kernels on TPU for
+# shapes they cover (falling back to jnp per-config); "jnp"/"pallas" force
+# a path.  Measured on TPU v5 (2048^2, db2, 3 levels, chained timing):
+# pallas round trip 209 us vs jnp 379 us — the fused kernels win once the
+# bands are wide enough for full 128-lane transposed tiles (requires the
+# raised Mosaic VMEM limit, see ops/pallas_dwt.py).
 _KERNEL_MODE = os.environ.get("PYPWT_KERNELS", "auto")
 
 
@@ -40,7 +40,12 @@ def set_kernels(mode: str):
 
 
 def _pallas_enabled():
-    return _KERNEL_MODE == "pallas"
+    if _KERNEL_MODE == "jnp":
+        return False
+    if _KERNEL_MODE == "pallas":
+        return True
+    import jax
+    return jax.default_backend() == "tpu"
 
 
 def _pk():

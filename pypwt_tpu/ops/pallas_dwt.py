@@ -54,13 +54,18 @@ def _interpret():
 # Band / halo geometry
 # ---------------------------------------------------------------------------
 
+# Scoped-VMEM limit passed to Mosaic.  The default limit is 16 MB but the
+# chip has far more; raising it lets bands be wide enough that the
+# transposed column pass runs with full 128-lane tiles (measured: ib=512
+# analysis 83 us vs 161 us at ib=128 on 2048^2 db2).
+_VMEM_LIMIT = 100 * 1024 * 1024
+
 # Working-set cap per program.  The estimate in _pick_bands undercounts
-# Mosaic's stack temporaries by ~3x (measured: a 6 MB estimate compiled to a
-# 16.5 MB scoped allocation), so this is set well below the 16 MB VMEM.
-_VMEM_BUDGET = int(3.5 * 1024 * 1024)
+# Mosaic's stack temporaries by ~3x, so this sits well below _VMEM_LIMIT.
+_VMEM_BUDGET = 30 * 1024 * 1024
 
 
-def _pick_bands(n_rows, n_cols, lpad, rpad, n_bufs):
+def _pick_bands(n_rows, n_cols, lpad, rpad, n_bufs, max_body=512):
     """Choose (body_rows IB, halo_block H) or None if not tileable.
 
     IB divides n_rows; H divides both n_rows and IB and covers the halo.
@@ -76,7 +81,7 @@ def _pick_bands(n_rows, n_cols, lpad, rpad, n_bufs):
     if hh is None:
         return None
     for ib in (512, 256, 128, 64, 32, 16, 8):
-        if n_rows % ib or ib % hh:
+        if ib > max_body or n_rows % ib or ib % hh:
             continue
         ws = (lpad + ib + rpad + 2 * hh) * n_cols * 4 * n_bufs
         if ws <= _VMEM_BUDGET:
@@ -254,6 +259,8 @@ def _build_dwt2d(nr, nc, flo, fhi, interpret):
         in_specs=[top, body, bot],
         out_specs=[out_spec] * 4,
         out_shape=[out_sds] * 4,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )
 
@@ -310,7 +317,7 @@ def _build_idwt2d(nr_out, nc_out, flo, fhi, interpret):
     w = nc_out // 2
     lp, rp = conv.synthesis_pads(hlen, lrows, nr_out)
     lpc, rpc = conv.synthesis_pads(hlen, w, nc_out)
-    bands = _pick_bands(lrows, w, lp, rp, n_bufs=14)
+    bands = _pick_bands(lrows, w, lp, rp, n_bufs=14, max_body=128)
     if bands is None:
         return None
     tcb, hh = bands  # coefficient rows per program
@@ -332,6 +339,8 @@ def _build_idwt2d(nr_out, nc_out, flo, fhi, interpret):
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_sds,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )
 

@@ -69,21 +69,22 @@ def timeit_chained(step, x0, iters=128, reps=3, return_overhead=False):
             lambda a: jax.lax.scan(body, a, None, length=n)[0])
 
     def fresh():
-        a = x0 * np.float32(_rng.uniform(0.5, 2.0))
-        _sync(a)
+        bump = np.float32(_rng.uniform(0.5, 2.0))
+        a = jax.tree_util.tree_map(lambda t: t * bump, x0)
+        _sync(jax.tree_util.tree_leaves(a)[0])
         return a
 
     g = make(iters)
     out = g(fresh())
-    _sync(out)                       # compile + drain
-    rb = readback_latency(out)
+    _sync(jax.tree_util.tree_leaves(out)[0])   # compile + drain
+    rb = readback_latency(jax.tree_util.tree_leaves(out)[0])
 
     # adapt: one region should take >= 20x the readback latency
     for _ in range(6):
         a = fresh()
         t0 = time.perf_counter()
         out = g(a)
-        _sync(out)
+        _sync(jax.tree_util.tree_leaves(out)[0])
         region = time.perf_counter() - t0
         if region >= 20.0 * rb or iters >= 1 << 16:
             break
@@ -91,14 +92,14 @@ def timeit_chained(step, x0, iters=128, reps=3, return_overhead=False):
         iters = min(iters * scale, 1 << 16)
         g = make(iters)
         out = g(fresh())
-        _sync(out)
+        _sync(jax.tree_util.tree_leaves(out)[0])
 
     times = []
     for _ in range(reps):
         a = fresh()
         t0 = time.perf_counter()
         out = g(a)
-        _sync(out)
+        _sync(jax.tree_util.tree_leaves(out)[0])
         times.append(time.perf_counter() - t0)
     t = (float(np.median(times)) - rb) / iters
     t = max(t, 1e-12)
