@@ -12,6 +12,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from . import conv
+from .dwt import _pallas_enabled
+
+
+def _pk():
+    from ..ops import pallas_dwt
+    return pallas_dwt
 
 
 def swt1d_level(x, fb, level):
@@ -23,7 +29,13 @@ def iswt1d_level(a, d, fb, level):
 
 
 def swt2d_level(x, fb, level):
-    """One stationary 2D analysis level -> (a, h, v, d)."""
+    """One stationary 2D analysis level -> (a, h, v, d).
+
+    On TPU, covered shapes run as one fused Pallas kernel."""
+    if _pallas_enabled():
+        r = _pk().swt2d_level_fused(x, fb, level)
+        if r is not None:
+            return r
     t1, t2 = conv.swt_analysis_last(x, fb.dec_lo, fb.dec_hi, level)
     t1 = jnp.swapaxes(t1, -1, -2)
     t2 = jnp.swapaxes(t2, -1, -2)
@@ -35,6 +47,10 @@ def swt2d_level(x, fb, level):
 
 def iswt2d_level(a, h, v, d, fb, level):
     """One stationary 2D synthesis level (column pass then row pass)."""
+    if _pallas_enabled():
+        r = _pk().iswt2d_level_fused(a, h, v, d, fb, level)
+        if r is not None:
+            return r
     at = jnp.swapaxes(a, -1, -2)
     ht = jnp.swapaxes(h, -1, -2)
     vt = jnp.swapaxes(v, -1, -2)

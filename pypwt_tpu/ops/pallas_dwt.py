@@ -366,3 +366,211 @@ def idwt2d_fused(a, h, v, d, fb, out_shape):
     if a.ndim == 3:
         return jax.vmap(f)(a, h, v, d)
     return f(a, h, v, d)
+
+
+# ---------------------------------------------------------------------------
+# Fused stationary (a-trous) levels — no decimation, dilated filters
+# (separable.cu:409-493 analysis, :553-626 synthesis)
+# ---------------------------------------------------------------------------
+
+def _swt_pads(hlen, level, inverse):
+    factor = 1 << (level - 1)
+    if inverse:
+        s = hlen // 2 - 1 if hlen % 2 == 0 else hlen // 2
+    else:
+        s = hlen // 2
+    return (hlen - 1 - s) * factor, max(s, 0) * factor, s, factor
+
+
+def _swt_sub(t, flo, fhi, s, factor, lpad, L, scale=1.0):
+    """A-trous filtering along axis 0 of an already-padded array."""
+    hlen = len(flo)
+    lo = None
+    hi = None
+    for k in range(hlen):
+        ofs = lpad + (s - k) * factor
+        seg = t[ofs: ofs + L, :]
+        # reference tap order: flo[k] applied at offset (s-k)*factor
+        # (separable.cu:409-448 / conv.swt_analysis_last)
+        gl, gh = flo[k] * scale, fhi[k] * scale
+        lo = seg * gl if lo is None else lo + seg * gl
+        hi = seg * gh if hi is None else hi + seg * gh
+    return lo, hi
+
+
+def _swt_combine_sub(lop, hip, flo, fhi, s, factor, lpad, L):
+    """Synthesis combine: sum_k (lo*flo[k] + hi*fhi[k])/2 at dilated
+    offsets, along axis 0 of padded planes."""
+    hlen = len(flo)
+    out = None
+    for k in range(hlen):
+        ofs = lpad + (s - k) * factor
+        seg = (lop[ofs: ofs + L, :] * (flo[k] * 0.5)
+               + hip[ofs: ofs + L, :] * (fhi[k] * 0.5))
+        out = seg if out is None else out + seg
+    return out
+
+
+def _swt2d_kernel(flo, fhi, lpr, rpr, s, factor, ib, nc,
+                  top_ref, body_ref, bot_ref,
+                  a_ref, h_ref, v_ref, d_ref):
+    rows = _gather_rows(top_ref, body_ref, bot_ref, lpr, rpr)
+    lo_r, hi_r = _swt_sub(rows, flo, fhi, s, factor, lpr, ib)
+
+    def cols(t):
+        tt = t.T
+        parts = []
+        if lpr:
+            parts.append(tt[nc - lpr:, :])
+        parts.append(tt)
+        if rpr:
+            parts.append(tt[:rpr, :])
+        tp = jnp.concatenate(parts, axis=0) if len(parts) > 1 else tt
+        lo, hi = _swt_sub(tp, flo, fhi, s, factor, lpr, nc)
+        return lo.T, hi.T
+
+    a, v = cols(lo_r)
+    h, d = cols(hi_r)
+    a_ref[:, :] = a
+    h_ref[:, :] = h
+    v_ref[:, :] = v
+    d_ref[:, :] = d
+
+
+@functools.lru_cache(maxsize=512)
+def _build_swt2d(nr, nc, flo, fhi, level, interpret):
+    hlen = len(flo)
+    lp, rp, s, factor = _swt_pads(hlen, level, inverse=False)
+    bands = _pick_bands_swt(nr, nc, lp, rp, n_bufs=6)
+    if bands is None:
+        return None
+    ib, hh = bands
+    top, body, bot = _halo_specs(ib, hh, nr, nc)
+    out_spec = pl.BlockSpec((ib, nc), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr, nc), jnp.float32)
+    kern = functools.partial(_swt2d_kernel, flo, fhi, lp, rp, s, factor,
+                             ib, nc)
+    call = pl.pallas_call(
+        kern, grid=(nr // ib,), in_specs=[top, body, bot],
+        out_specs=[out_spec] * 4, out_shape=[out_sds] * 4,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+    def fused(x):
+        return call(x, x, x)
+
+    return fused
+
+
+def _pick_bands_swt(n_rows, n_cols, lpad, rpad, n_bufs):
+    """Like _pick_bands but with larger halo blocks (dilated supports)."""
+    halo = max(lpad, rpad, 1)
+    hh = None
+    for cand in (8, 16, 32, 64, 128, 256):
+        if cand >= halo and n_rows % cand == 0:
+            hh = cand
+            break
+    if hh is None:
+        return None
+    for ib in (512, 256, 128, 64, 32, 16, 8):
+        if n_rows % ib or ib % hh:
+            continue
+        ws = (lpad + ib + rpad + 2 * hh) * n_cols * 4 * n_bufs
+        if ws <= _VMEM_BUDGET:
+            return ib, hh
+    return None
+
+
+def swt2d_level_fused(x, fb, level):
+    """One fused stationary analysis level; None if uncovered."""
+    if x.ndim not in (2, 3) or x.dtype != jnp.float32:
+        return None
+    nr, nc = x.shape[-2], x.shape[-1]
+    hlen = fb.hlen
+    lp, rp, _, _ = _swt_pads(hlen, level, inverse=False)
+    if max(lp, rp) > min(nr, nc):
+        return None  # support exceeds image; jnp path wraps correctly
+    f = _build_swt2d(nr, nc, _taps(fb.dec_lo), _taps(fb.dec_hi), level,
+                     _interpret())
+    if f is None:
+        return None
+    if x.ndim == 3:
+        return tuple(jax.vmap(f)(x))
+    return tuple(f(x))
+
+
+def _iswt2d_kernel(flo, fhi, lpr, rpr, s, factor, ib, nc,
+                   a_top, a_body, a_bot, h_top, h_body, h_bot,
+                   v_top, v_body, v_bot, d_top, d_body, d_bot,
+                   out_ref):
+    ar = _gather_rows(a_top, a_body, a_bot, lpr, rpr)
+    hr = _gather_rows(h_top, h_body, h_bot, lpr, rpr)
+    vr = _gather_rows(v_top, v_body, v_bot, lpr, rpr)
+    dr = _gather_rows(d_top, d_body, d_bot, lpr, rpr)
+
+    t1 = _swt_combine_sub(ar, hr, flo, fhi, s, factor, lpr, ib)
+    t2 = _swt_combine_sub(vr, dr, flo, fhi, s, factor, lpr, ib)
+
+    def cols(lo, hi):
+        lot = lo.T
+        hit = hi.T
+        parts_l = [lot[nc - lpr:, :], lot, lot[:rpr, :]]
+        parts_h = [hit[nc - lpr:, :], hit, hit[:rpr, :]]
+        parts_l = [p for p in parts_l if p.shape[0]]
+        parts_h = [p for p in parts_h if p.shape[0]]
+        lop = (jnp.concatenate(parts_l, axis=0) if len(parts_l) > 1
+               else lot)
+        hip = (jnp.concatenate(parts_h, axis=0) if len(parts_h) > 1
+               else hit)
+        return _swt_combine_sub(lop, hip, flo, fhi, s, factor, lpr, nc).T
+
+    out_ref[:, :] = cols(t1, t2)
+
+
+@functools.lru_cache(maxsize=512)
+def _build_iswt2d(nr, nc, flo, fhi, level, interpret):
+    hlen = len(flo)
+    lp, rp, s, factor = _swt_pads(hlen, level, inverse=True)
+    bands = _pick_bands_swt(nr, nc, lp, rp, n_bufs=14)
+    if bands is None:
+        return None
+    ib, hh = bands
+    top, body, bot = _halo_specs(ib, hh, nr, nc)
+    out_spec = pl.BlockSpec((ib, nc), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr, nc), jnp.float32)
+    kern = functools.partial(_iswt2d_kernel, flo, fhi, lp, rp, s, factor,
+                             ib, nc)
+    call = pl.pallas_call(
+        kern, grid=(nr // ib,), in_specs=[top, body, bot] * 4,
+        out_specs=out_spec, out_shape=out_sds,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+    def fused(a, h, v, d):
+        return call(a, a, a, h, h, h, v, v, v, d, d, d)
+
+    return fused
+
+
+def iswt2d_level_fused(a, h, v, d, fb, level):
+    """One fused stationary synthesis level; None if uncovered."""
+    if a.ndim not in (2, 3) or a.dtype != jnp.float32:
+        return None
+    if not (a.shape == h.shape == v.shape == d.shape):
+        return None
+    nr, nc = a.shape[-2], a.shape[-1]
+    hlen = fb.hlen
+    lp, rp, _, _ = _swt_pads(hlen, level, inverse=True)
+    if max(lp, rp) > min(nr, nc):
+        return None
+    f = _build_iswt2d(nr, nc, _taps(fb.rec_lo), _taps(fb.rec_hi), level,
+                      _interpret())
+    if f is None:
+        return None
+    if a.ndim == 3:
+        return jax.vmap(f)(a, h, v, d)
+    return f(a, h, v, d)

@@ -75,3 +75,32 @@ def test_dispatch_mode_switch():
     dwt.set_kernels("auto")
     for g, r in zip(got, ref):
         assert float(jnp.abs(g - r.astype(jnp.float32)).max()) < 2e-5
+
+
+@pytest.mark.parametrize("wname", ["haar", "db2", "sym5"])
+@pytest.mark.parametrize("level", [1, 2, 3])
+def test_fused_swt_level_matches_jnp(wname, level):
+    from pypwt_tpu.core import swt
+    fb = get_filter_bank(wname)
+    x = _rand((64, 128))
+    want = swt.swt2d_level(x, fb, level)
+    got = pk.swt2d_level_fused(x, fb, level)
+    assert got is not None
+    for g, r in zip(got, want):
+        assert float(jnp.abs(g - r.astype(jnp.float32)).max()) < 2e-5
+    back_w = swt.iswt2d_level(*[w.astype(jnp.float32) for w in want],
+                              fb, level)
+    back_g = pk.iswt2d_level_fused(*got, fb, level)
+    assert back_g is not None
+    assert float(jnp.abs(back_g - back_w.astype(jnp.float32)).max()) < 2e-5
+
+
+def test_fused_swt_full_roundtrip():
+    from pypwt_tpu.core import swt, dwt
+    fb = get_filter_bank("db3")
+    x = _rand((64, 64))
+    dwt.set_kernels("pallas")
+    pyr = swt.swt2d(x, fb, 2)
+    y = swt.iswt2d(pyr, fb)
+    dwt.set_kernels("auto")
+    assert float(jnp.abs(y - x).max()) < 5e-6
