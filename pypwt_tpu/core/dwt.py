@@ -54,12 +54,22 @@ def _pk():
 
 
 def dwt1d(x, fb):
-    """One analysis level along the last axis -> (a, d)."""
+    """One analysis level along the last axis -> (a, d).
+
+    Batched (2D) float32 inputs run as a fused Pallas kernel on TPU."""
+    if _pallas_enabled() and x.ndim == 2:
+        r = _pk().dwt1d_fused(x, fb)
+        if r is not None:
+            return r
     return conv.analysis_last(x, fb.dec_lo, fb.dec_hi)
 
 
 def idwt1d(a, d, fb, n_out):
     """One synthesis level along the last axis."""
+    if _pallas_enabled() and a.ndim == 2:
+        r = _pk().idwt1d_fused(a, d, fb, n_out)
+        if r is not None:
+            return r
     return conv.synthesis_last(a, d, fb.rec_lo, fb.rec_hi, n_out)
 
 

@@ -574,3 +574,89 @@ def iswt2d_level_fused(a, h, v, d, fb, level):
     if a.ndim == 3:
         return jax.vmap(f)(a, h, v, d)
     return f(a, h, v, d)
+
+
+# ---------------------------------------------------------------------------
+# Fused batched-1D levels (rows independent: no halos, lane-axis transform
+# via the transposed sublane pass; separable.cu:214-236 / :368-395)
+# ---------------------------------------------------------------------------
+
+def _dwt1d_kernel(flo, fhi, lpc, rpc, body_ref, lo_ref, hi_ref):
+    lo, hi = _analysis_cols(body_ref[:, :], flo, fhi, lpc, rpc)
+    lo_ref[:, :] = lo
+    hi_ref[:, :] = hi
+
+
+@functools.lru_cache(maxsize=512)
+def _build_dwt1d(nr, nc, flo, fhi, interpret):
+    hlen = len(flo)
+    if hlen % 2 or nc % 2:
+        return None
+    lp, rp = conv.analysis_pads(hlen)
+    bands = _pick_bands(nr, nc, 0, 0, n_bufs=5)
+    if bands is None:
+        return None
+    ib, _ = bands
+    body = pl.BlockSpec((ib, nc), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ib, nc // 2), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr, nc // 2), jnp.float32)
+    kern = functools.partial(_dwt1d_kernel, flo, fhi, lp, rp)
+    return pl.pallas_call(
+        kern, grid=(nr // ib,), in_specs=[body],
+        out_specs=[out_spec] * 2, out_shape=[out_sds] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+
+def dwt1d_fused(x, fb):
+    """One fused batched-1D analysis level; None if uncovered."""
+    if x.ndim != 2 or x.dtype != jnp.float32:
+        return None
+    f = _build_dwt1d(x.shape[0], x.shape[1], _taps(fb.dec_lo),
+                     _taps(fb.dec_hi), _interpret())
+    if f is None:
+        return None
+    return tuple(f(x))
+
+
+def _idwt1d_kernel(flo, fhi, lpc, rpc, n_out, a_ref, d_ref, out_ref):
+    out_ref[:, :] = _synthesis_cols(a_ref[:, :], d_ref[:, :], flo, fhi,
+                                    lpc, rpc, n_out)
+
+
+@functools.lru_cache(maxsize=512)
+def _build_idwt1d(nr, L, n_out, flo, fhi, interpret):
+    hlen = len(flo)
+    if hlen % 2 or n_out != 2 * L:
+        return None
+    lp, rp = conv.synthesis_pads(hlen, L, n_out)
+    bands = _pick_bands(nr, n_out, 0, 0, n_bufs=8)
+    if bands is None:
+        return None
+    ib, _ = bands
+    in_spec = pl.BlockSpec((ib, L), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ib, n_out), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr, n_out), jnp.float32)
+    kern = functools.partial(_idwt1d_kernel, flo, fhi, lp, rp, n_out)
+    return pl.pallas_call(
+        kern, grid=(nr // ib,), in_specs=[in_spec, in_spec],
+        out_specs=out_spec, out_shape=out_sds,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+
+def idwt1d_fused(a, d, fb, n_out):
+    """One fused batched-1D synthesis level; None if uncovered."""
+    if a.ndim != 2 or a.dtype != jnp.float32 or a.shape != d.shape:
+        return None
+    f = _build_idwt1d(a.shape[0], a.shape[1], n_out, _taps(fb.rec_lo),
+                      _taps(fb.rec_hi), _interpret())
+    if f is None:
+        return None
+    return f(a, d)

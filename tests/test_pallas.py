@@ -104,3 +104,29 @@ def test_fused_swt_full_roundtrip():
     y = swt.iswt2d(pyr, fb)
     dwt.set_kernels("auto")
     assert float(jnp.abs(y - x).max()) < 5e-6
+
+
+@pytest.mark.parametrize("wname", ["haar", "db2", "db7"])
+def test_fused_batched1d_matches_jnp(wname):
+    from pypwt_tpu.core import conv
+    fb = get_filter_bank(wname)
+    x = _rand((64, 256))
+    want = conv.analysis_last(x, fb.dec_lo, fb.dec_hi)
+    got = pk.dwt1d_fused(x, fb)
+    assert got is not None
+    for g, r in zip(got, want):
+        assert float(jnp.abs(g - r.astype(jnp.float32)).max()) < 2e-5
+    y = pk.idwt1d_fused(*got, fb, 256)
+    assert y is not None
+    assert float(jnp.abs(y - x).max()) < 5e-6
+
+
+def test_fused_batched1d_multilevel_roundtrip():
+    from pypwt_tpu.core import dwt
+    fb = get_filter_bank("sym4")
+    x = _rand((64, 512))
+    dwt.set_kernels("pallas")
+    pyr = dwt.wavedec1(x, fb, 3)
+    y = dwt.waverec1(pyr, fb, 512)
+    dwt.set_kernels("auto")
+    assert float(jnp.abs(y - x).max()) < 5e-6
