@@ -57,6 +57,68 @@ class Filters2D:
                outer(fb.rec_lo, fb.rec_hi), outer(fb.rec_hi, fb.rec_hi)]
         return Filters2D(dec, rec, name=fb.name)
 
+    def separable_bank(self):
+        """If the four 2D filter pairs factor into one isotropic 1D bank
+        (outer products with identical row/col factors, the from_bank
+        construction), return that bank; else None.
+
+        Used to route non-separable mode through the fast separable
+        kernels: with harmonized H/V conventions the results coincide,
+        while lax.conv_general_dilated (the true-2D path) is ~200x slower
+        on TPU for these tiny channel counts.
+        """
+        if getattr(self, "_sep_bank", "?") != "?":
+            return self._sep_bank
+        self._sep_bank = None
+        try:
+            u, s, vt = np.linalg.svd(self.dec[0])
+            if s[0] <= 0 or (len(s) > 1 and s[1] > 1e-10 * s[0]):
+                return None
+            lo_r = u[:, 0] * np.sqrt(s[0])
+            lo_c = vt[0] * np.sqrt(s[0])
+            if lo_r.sum() < 0:
+                lo_r, lo_c = -lo_r, -lo_c
+            nlc = float(lo_c @ lo_c)
+            nlr = float(lo_r @ lo_r)
+            hi_r = self.dec[1] @ lo_c / nlc
+            hi_c = self.dec[2].T @ lo_r / nlr
+
+            ur, sr, vr = np.linalg.svd(self.rec[0])
+            if sr[0] <= 0 or (len(sr) > 1 and sr[1] > 1e-10 * sr[0]):
+                return None
+            rlo_r = ur[:, 0] * np.sqrt(sr[0])
+            rlo_c = vr[0] * np.sqrt(sr[0])
+            if rlo_r.sum() < 0:
+                rlo_r, rlo_c = -rlo_r, -rlo_c
+            rhi_r = self.rec[1] @ rlo_c / float(rlo_c @ rlo_c)
+            rhi_c = self.rec[2].T @ rlo_r / float(rlo_r @ rlo_r)
+
+            tol = 1e-9 * max(np.abs(f).max() for f in self.dec + self.rec)
+            checks = [
+                (self.dec[0], np.outer(lo_r, lo_c)),
+                (self.dec[1], np.outer(hi_r, lo_c)),
+                (self.dec[2], np.outer(lo_r, hi_c)),
+                (self.dec[3], np.outer(hi_r, hi_c)),
+                (self.rec[0], np.outer(rlo_r, rlo_c)),
+                (self.rec[1], np.outer(rhi_r, rlo_c)),
+                (self.rec[2], np.outer(rlo_r, rhi_c)),
+                (self.rec[3], np.outer(rhi_r, rhi_c)),
+                # isotropy: the separable core uses one bank on both axes
+                (np.outer(lo_r, 1.0), np.outer(lo_c, 1.0)),
+                (np.outer(hi_r, 1.0), np.outer(hi_c, 1.0)),
+                (np.outer(rlo_r, 1.0), np.outer(rlo_c, 1.0)),
+                (np.outer(rhi_r, 1.0), np.outer(rhi_c, 1.0)),
+            ]
+            for got, want in checks:
+                if np.abs(got - want).max() > max(tol, 1e-12):
+                    return None
+            from ..filters import FilterBank
+            self._sep_bank = FilterBank.custom(
+                self.name + "-factored", lo_r, hi_r, rlo_r, rhi_r)
+        except Exception:
+            self._sep_bank = None
+        return self._sep_bank
+
 
 def _pad2_periodic(x, lpad, rpad):
     x = conv.periodic_pad_last(x, lpad, rpad)
@@ -192,6 +254,10 @@ def ins_swt2d_level(a, h, v, d, f2d: Filters2D, level: int):
 
 
 def ns_wavedec2(image, f2d, levels):
+    fb = f2d.separable_bank()
+    if fb is not None:
+        from . import dwt
+        return dwt.wavedec2(image, fb, levels)
     a = image
     details = []
     for _ in range(levels):
@@ -201,6 +267,10 @@ def ns_wavedec2(image, f2d, levels):
 
 
 def ns_waverec2(coeffs, f2d, shape):
+    fb = f2d.separable_bank()
+    if fb is not None:
+        from . import dwt
+        return dwt.waverec2(coeffs, fb, shape)
     levels = len(coeffs) - 1
     sizes = [tuple(shape[-2:])]
     for _ in range(levels):
@@ -213,6 +283,10 @@ def ns_waverec2(coeffs, f2d, shape):
 
 
 def ns_swt2d(image, f2d, levels):
+    fb = f2d.separable_bank()
+    if fb is not None:
+        from . import swt
+        return swt.swt2d(image, fb, levels)
     a = image
     details = []
     for lev in range(1, levels + 1):
@@ -222,6 +296,10 @@ def ns_swt2d(image, f2d, levels):
 
 
 def ins_swt2d(coeffs, f2d):
+    fb = f2d.separable_bank()
+    if fb is not None:
+        from . import swt
+        return swt.iswt2d(coeffs, fb)
     levels = len(coeffs) - 1
     a = coeffs[0]
     for lev in range(levels, 0, -1):

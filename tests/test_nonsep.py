@@ -65,3 +65,50 @@ def test_batched_nonsep():
     y = jax.jit(lambda c: ns.ns_waverec2(c, f2d, (2, 32, 32)))(pyr)
     assert y.shape == (2, 32, 32)
     np.testing.assert_allclose(np.asarray(y), x, atol=1e-9)
+
+
+def test_separable_bank_factorization():
+    """from_bank filter sets factor back to the 1D bank; perturbed
+    (genuinely non-separable) sets must NOT factor and must take the
+    true-2D path."""
+    import numpy as np
+    from pypwt_tpu import get_filter_bank
+    fb = get_filter_bank("db3")
+    f2d = ns.Filters2D.from_bank(fb)
+    bank = f2d.separable_bank()
+    assert bank is not None
+    np.testing.assert_allclose(bank.dec_lo, fb.dec_lo, atol=1e-12)
+    np.testing.assert_allclose(bank.rec_hi, fb.rec_hi, atol=1e-12)
+
+    dec = [f.copy() for f in f2d.dec]
+    dec[0] = dec[0] + np.eye(f2d.hlen) * 1e-3  # rank > 1
+    f2d_ns = ns.Filters2D(dec, [f.copy() for f in f2d.rec])
+    assert f2d_ns.separable_bank() is None
+
+
+def test_true_2d_path_matches_numpy_oracle():
+    """The conv_general_dilated path (used for genuinely non-separable
+    filters) against a direct scalar 2D convolution."""
+    import numpy as np
+    rng = np.random.default_rng(5)
+    k = 4
+    dec = [rng.standard_normal((k, k)) for _ in range(4)]
+    f2d = ns.Filters2D(dec, dec)  # synthesis unused here
+    assert f2d.separable_bank() is None
+    x = rng.standard_normal((12, 14)).astype(np.float32)
+
+    got = [np.asarray(c) for c in ns.nsdwt2d(jnp.asarray(x), f2d)]
+
+    # scalar oracle: out_s[i,j] = sum_kl F_s[k,l] * xp[2i+k, 2j+l]
+    s = k // 2
+    lp, rp = k - 1 - s, max(s - 1, 0)
+    xp = np.pad(x.astype(np.float64), ((lp, rp), (lp, rp)), mode="wrap")
+    L_r, L_c = x.shape[0] // 2, x.shape[1] // 2
+    for si, F in enumerate(dec):
+        want = np.zeros((L_r, L_c))
+        Fr = F[::-1, ::-1]
+        for i in range(L_r):
+            for j in range(L_c):
+                want[i, j] = np.sum(Fr * xp[2 * i: 2 * i + k,
+                                            2 * j: 2 * j + k])
+        np.testing.assert_allclose(got[si], want, atol=1e-4)
