@@ -156,15 +156,40 @@ def _conv_nchw(x, rhs, strides=(1, 1), dilation=(1, 1)):
     return out.reshape(lead + out.shape[1:])
 
 
+# above this tap count the unrolled slice formulation bloats the XLA graph;
+# lax.conv takes over (slower but compact)
+_SLICE_TAP_LIMIT = 12
+
+
 def nsdwt2d(x, f2d: Filters2D):
-    """One non-separable 2D analysis level -> (a, h, v, d)."""
+    """One non-separable 2D analysis level -> (a, h, v, d).
+
+    Short filters use shifted single-axis strided slices (XLA lowers
+    double-strided slices and tiny-channel convolutions catastrophously
+    on TPU); long filters fall back to lax.conv_general_dilated."""
     hlen = f2d.hlen
     s = hlen // 2
     xe = _odd_extend_2d(x)
     xp = _pad2_periodic(xe, hlen - 1 - s, max(s - 1, 0))
-    rhs = np.stack([f[::-1, ::-1] for f in f2d.dec])[:, None]  # (4,1,k,k)
-    out = _conv_nchw(xp, rhs, strides=(2, 2))
-    return tuple(out[..., i, :, :] for i in range(4))
+    if hlen > _SLICE_TAP_LIMIT:
+        rhs = np.stack([f[::-1, ::-1] for f in f2d.dec])[:, None]
+        out = _conv_nchw(xp, rhs, strides=(2, 2))
+        return tuple(out[..., i, :, :] for i in range(4))
+    L_r = xe.shape[-2] // 2
+    L_c = xe.shape[-1] // 2
+    frev = [np.asarray(f)[::-1, ::-1] for f in f2d.dec]
+    outs = [None] * 4
+    for k in range(hlen):
+        slab = xp[..., k: k + 2 * L_r: 2, :]
+        for l in range(hlen):
+            seg = slab[..., :, l: l + 2 * L_c: 2]
+            for si in range(4):
+                w = float(frev[si][k, l])
+                if w == 0.0:
+                    continue
+                t = seg * jnp.asarray(w, x.dtype)
+                outs[si] = t if outs[si] is None else outs[si] + t
+    return tuple(outs)
 
 
 def insdwt2d(a, h, v, d, f2d: Filters2D, out_shape):
@@ -216,8 +241,22 @@ def insdwt2d(a, h, v, d, f2d: Filters2D, out_shape):
             bx = pads[px][1] + lpad - pads[px][2]
             win = xp[..., by: by + Lout_r + hlen2 - 1,
                      bx: bx + Lout_c + hlen2 - 1]
-            o = _conv_nchw(win, rhs[py * 2 + px: py * 2 + px + 1, :])
-            outs[(py, px)] = o[..., 0, :, :]
+            if hlen > _SLICE_TAP_LIMIT:
+                o = _conv_nchw(win, rhs[py * 2 + px: py * 2 + px + 1, :])
+                outs[(py, px)] = o[..., 0, :, :]
+                continue
+            acc = None
+            for b in range(4):
+                wb = win[..., b, :, :]
+                for jy in range(hlen2):
+                    for jx in range(hlen2):
+                        w = float(rhs[py * 2 + px, b, jy, jx])
+                        if w == 0.0:
+                            continue
+                        t = wb[..., jy: jy + Lout_r, jx: jx + Lout_c] \
+                            * jnp.asarray(w, a.dtype)
+                        acc = t if acc is None else acc + t
+            outs[(py, px)] = acc
 
     top = jnp.stack([outs[(0, 0)], outs[(0, 1)]], axis=-1)
     bot = jnp.stack([outs[(1, 0)], outs[(1, 1)]], axis=-1)
@@ -233,10 +272,27 @@ def ns_swt2d_level(x, f2d: Filters2D, level: int):
     hlen = f2d.hlen
     s = hlen // 2
     factor = 1 << (level - 1)
-    xp = _pad2_periodic(x, (hlen - 1 - s) * factor, s * factor)
-    rhs = np.stack([f[::-1, ::-1] for f in f2d.dec])[:, None]
-    out = _conv_nchw(xp, rhs, dilation=(factor, factor))
-    return tuple(out[..., i, :, :] for i in range(4))
+    lpad = (hlen - 1 - s) * factor
+    xp = _pad2_periodic(x, lpad, s * factor)
+    if hlen > _SLICE_TAP_LIMIT:
+        rhs = np.stack([f[::-1, ::-1] for f in f2d.dec])[:, None]
+        out = _conv_nchw(xp, rhs, dilation=(factor, factor))
+        return tuple(out[..., i, :, :] for i in range(4))
+    nr, nc = x.shape[-2], x.shape[-1]
+    outs = [None] * 4
+    for k in range(hlen):
+        oy = lpad + (s - k) * factor
+        slab = xp[..., oy: oy + nr, :]
+        for l in range(hlen):
+            ox = lpad + (s - l) * factor
+            seg = slab[..., :, ox: ox + nc]
+            for si, F in enumerate(f2d.dec):
+                w = float(F[k, l])
+                if w == 0.0:
+                    continue
+                t = seg * jnp.asarray(w, x.dtype)
+                outs[si] = t if outs[si] is None else outs[si] + t
+    return tuple(outs)
 
 
 def ins_swt2d_level(a, h, v, d, f2d: Filters2D, level: int):
@@ -245,12 +301,30 @@ def ins_swt2d_level(a, h, v, d, f2d: Filters2D, level: int):
     hlen = f2d.hlen
     s = hlen // 2 - 1 if hlen % 2 == 0 else hlen // 2
     factor = 1 << (level - 1)
-    coeffs = jnp.stack([a, h, v, d], axis=-3)
-    xp = _pad2_periodic(coeffs, (hlen - 1 - s) * factor,
-                        max(s, 0) * factor)
-    rhs = np.stack([f[::-1, ::-1] * 0.25 for f in f2d.rec])[None]  # (1,4,k,k)
-    out = _conv_nchw(xp, rhs, dilation=(factor, factor))
-    return out[..., 0, :, :]
+    lpad = (hlen - 1 - s) * factor
+    if hlen > _SLICE_TAP_LIMIT:
+        coeffs = jnp.stack([a, h, v, d], axis=-3)
+        xp = _pad2_periodic(coeffs, lpad, max(s, 0) * factor)
+        rhs = np.stack([f[::-1, ::-1] * 0.25
+                        for f in f2d.rec])[None]  # (1,4,k,k)
+        out = _conv_nchw(xp, rhs, dilation=(factor, factor))
+        return out[..., 0, :, :]
+    nr, nc = a.shape[-2], a.shape[-1]
+    planes = [_pad2_periodic(p, lpad, max(s, 0) * factor)
+              for p in (a, h, v, d)]
+    out = None
+    for k in range(hlen):
+        oy = lpad + (s - k) * factor
+        for l in range(hlen):
+            ox = lpad + (s - l) * factor
+            for si, F in enumerate(f2d.rec):
+                w = float(F[k, l]) * 0.25
+                if w == 0.0:
+                    continue
+                t = planes[si][..., oy: oy + nr, ox: ox + nc] \
+                    * jnp.asarray(w, a.dtype)
+                out = t if out is None else out + t
+    return out
 
 
 def ns_wavedec2(image, f2d, levels):

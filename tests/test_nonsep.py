@@ -86,12 +86,13 @@ def test_separable_bank_factorization():
     assert f2d_ns.separable_bank() is None
 
 
-def test_true_2d_path_matches_numpy_oracle():
-    """The conv_general_dilated path (used for genuinely non-separable
-    filters) against a direct scalar 2D convolution."""
+@pytest.mark.parametrize("k", [4, 14])  # slice path / conv fallback
+def test_true_2d_path_matches_numpy_oracle(k):
+    """Both true-2D implementations (shifted slices for short filters,
+    conv_general_dilated for long) against a direct scalar 2D
+    convolution."""
     import numpy as np
     rng = np.random.default_rng(5)
-    k = 4
     dec = [rng.standard_normal((k, k)) for _ in range(4)]
     f2d = ns.Filters2D(dec, dec)  # synthesis unused here
     assert f2d.separable_bank() is None
@@ -112,3 +113,21 @@ def test_true_2d_path_matches_numpy_oracle():
                 want[i, j] = np.sum(Fr * xp[2 * i: 2 * i + k,
                                             2 * j: 2 * j + k])
         np.testing.assert_allclose(got[si], want, atol=1e-4)
+
+
+def test_true_2d_roundtrip_direct_calls():
+    """Level round trip through the direct (non-routed) true-2D kernels:
+    nsdwt2d -> insdwt2d and ns_swt2d_level -> ins_swt2d_level."""
+    import numpy as np
+    from pypwt_tpu import get_filter_bank
+    fb = get_filter_bank("db4")
+    f2d = ns.Filters2D.from_bank(fb)
+    x = jnp.asarray(np.random.default_rng(6).random((32, 48)).astype(
+        np.float32))
+    a, h, v, d = ns.nsdwt2d(x, f2d)
+    y = ns.insdwt2d(a, h, v, d, f2d, (32, 48))
+    assert float(jnp.abs(y - x).max()) < 5e-6
+
+    a, h, v, d = ns.ns_swt2d_level(x, f2d, 2)
+    y = ns.ins_swt2d_level(a, h, v, d, f2d, 2)
+    assert float(jnp.abs(y - x).max()) < 5e-6
