@@ -24,6 +24,7 @@ from .version import __version__  # noqa: F401
 
 from .core import conv, dwt, haar, nonsep, shapes, swt, thresh  # noqa: F401
 from . import runtime  # noqa: F401  (native planner/IO/loader/checkpoint)
+from . import pipeline  # noqa: F401  (compiled denoise pipelines)
 
 __all__ = [
     "Wavelets",
@@ -31,5 +32,6 @@ __all__ = [
     "get_filter_bank",
     "wavelist",
     "runtime",
+    "pipeline",
     "__version__",
 ]

@@ -1,0 +1,58 @@
+"""Compiled denoising pipelines (pypwt_tpu.pipeline)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pypwt_tpu import Wavelets, pipeline
+
+
+def _noisy(shape=(64, 64), seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:shape[0], 0:shape[1]].astype(np.float32)
+    img = (50 * np.sin(2 * np.pi * xx / shape[1] * 3)
+           * np.cos(2 * np.pi * yy / shape[0] * 2) + 50).astype(np.float32)
+    return img, (img + rng.standard_normal(shape).astype(np.float32) * 5)
+
+
+def test_denoise2d_matches_class_api():
+    img, noisy = _noisy()
+    out = np.asarray(pipeline.denoise2d(jnp.asarray(noisy), "db2", 3,
+                                        10.0))
+    W = Wavelets(noisy, "db2", 3)
+    W.forward()
+    W.soft_threshold(10.0)
+    W.inverse()
+    np.testing.assert_allclose(out, W.image, atol=1e-4)
+
+
+def test_denoise2d_swt_and_batched():
+    img, noisy = _noisy()
+    stack = jnp.stack([jnp.asarray(noisy)] * 3)
+    out = pipeline.denoise2d(stack, "db3", 2, 5.0, do_swt=True)
+    assert out.shape == stack.shape
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[2]),
+                               atol=1e-6)
+    # denoising reduces noise energy
+    err_noisy = float(np.mean((noisy - img) ** 2))
+    err_out = float(np.mean((np.asarray(out[0]) - img) ** 2))
+    assert err_out < err_noisy
+
+
+def test_cycle_spinning_reproducible_and_denoises():
+    img, noisy = _noisy()
+    key = jax.random.key(7)
+    o1 = pipeline.denoise2d_cycle_spinning(jnp.asarray(noisy), "db2", 3,
+                                           10.0, key, n_spins=4)
+    o2 = pipeline.denoise2d_cycle_spinning(jnp.asarray(noisy), "db2", 3,
+                                           10.0, key, n_spins=4)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2))
+    err_noisy = float(np.mean((noisy - img) ** 2))
+    err_out = float(np.mean((np.asarray(o1) - img) ** 2))
+    assert err_out < err_noisy
+    # different key -> different (but close) result
+    o3 = pipeline.denoise2d_cycle_spinning(jnp.asarray(noisy), "db2", 3,
+                                           10.0, jax.random.key(8),
+                                           n_spins=4)
+    assert float(np.abs(np.asarray(o1) - np.asarray(o3)).max()) > 0
