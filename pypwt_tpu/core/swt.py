@@ -21,10 +21,18 @@ def _pk():
 
 
 def swt1d_level(x, fb, level):
+    if _pallas_enabled() and x.ndim == 2:
+        r = _pk().swt1d_level_fused(x, fb, level)
+        if r is not None:
+            return r
     return conv.swt_analysis_last(x, fb.dec_lo, fb.dec_hi, level)
 
 
 def iswt1d_level(a, d, fb, level):
+    if _pallas_enabled() and a.ndim == 2:
+        r = _pk().iswt1d_level_fused(a, d, fb, level)
+        if r is not None:
+            return r
     return conv.swt_synthesis_last(a, d, fb.rec_lo, fb.rec_hi, level)
 
 

@@ -660,3 +660,113 @@ def idwt1d_fused(a, d, fb, n_out):
     if f is None:
         return None
     return f(a, d)
+
+
+# ---------------------------------------------------------------------------
+# Fused batched-1D stationary levels (lane-axis a-trous via transpose)
+# ---------------------------------------------------------------------------
+
+def _swt1d_kernel(flo, fhi, lp, rp, s, factor, nc,
+                  body_ref, lo_ref, hi_ref):
+    tt = body_ref[:, :].T
+    parts = []
+    if lp:
+        parts.append(tt[nc - lp:, :])
+    parts.append(tt)
+    if rp:
+        parts.append(tt[:rp, :])
+    tp = jnp.concatenate(parts, axis=0) if len(parts) > 1 else tt
+    lo, hi = _swt_sub(tp, flo, fhi, s, factor, lp, nc)
+    lo_ref[:, :] = lo.T
+    hi_ref[:, :] = hi.T
+
+
+@functools.lru_cache(maxsize=512)
+def _build_swt1d(nr, nc, flo, fhi, level, interpret):
+    hlen = len(flo)
+    lp, rp, s, factor = _swt_pads(hlen, level, inverse=False)
+    if max(lp, rp) > nc:
+        return None
+    bands = _pick_bands(nr, nc, 0, 0, n_bufs=6)
+    if bands is None:
+        return None
+    ib, _ = bands
+    body = pl.BlockSpec((ib, nc), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ib, nc), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr, nc), jnp.float32)
+    kern = functools.partial(_swt1d_kernel, flo, fhi, lp, rp, s, factor,
+                             nc)
+    return pl.pallas_call(
+        kern, grid=(nr // ib,), in_specs=[body],
+        out_specs=[out_spec] * 2, out_shape=[out_sds] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+
+def swt1d_level_fused(x, fb, level):
+    """One fused batched-1D stationary analysis level; None if uncovered."""
+    if x.ndim != 2 or x.dtype != jnp.float32:
+        return None
+    f = _build_swt1d(x.shape[0], x.shape[1], _taps(fb.dec_lo),
+                     _taps(fb.dec_hi), level, _interpret())
+    if f is None:
+        return None
+    return tuple(f(x))
+
+
+def _iswt1d_kernel(flo, fhi, lp, rp, s, factor, nc,
+                   a_ref, d_ref, out_ref):
+    def padded(ref):
+        tt = ref[:, :].T
+        parts = []
+        if lp:
+            parts.append(tt[nc - lp:, :])
+        parts.append(tt)
+        if rp:
+            parts.append(tt[:rp, :])
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else tt
+
+    lop = padded(a_ref)
+    hip = padded(d_ref)
+    # 1D inverse rescales by 1/2 once (vs 1/2 per axis in 2D):
+    # _swt_combine_sub applies exactly one 0.5
+    out_ref[:, :] = _swt_combine_sub(lop, hip, flo, fhi, s, factor, lp,
+                                     nc).T
+
+
+@functools.lru_cache(maxsize=512)
+def _build_iswt1d(nr, nc, flo, fhi, level, interpret):
+    hlen = len(flo)
+    lp, rp, s, factor = _swt_pads(hlen, level, inverse=True)
+    if max(lp, rp) > nc:
+        return None
+    bands = _pick_bands(nr, nc, 0, 0, n_bufs=8)
+    if bands is None:
+        return None
+    ib, _ = bands
+    spec = pl.BlockSpec((ib, nc), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr, nc), jnp.float32)
+    kern = functools.partial(_iswt1d_kernel, flo, fhi, lp, rp, s, factor,
+                             nc)
+    return pl.pallas_call(
+        kern, grid=(nr // ib,), in_specs=[spec, spec],
+        out_specs=spec, out_shape=out_sds,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+
+def iswt1d_level_fused(a, d, fb, level):
+    """One fused batched-1D stationary synthesis level; None if
+    uncovered."""
+    if a.ndim != 2 or a.dtype != jnp.float32 or a.shape != d.shape:
+        return None
+    f = _build_iswt1d(a.shape[0], a.shape[1], _taps(fb.rec_lo),
+                      _taps(fb.rec_hi), level, _interpret())
+    if f is None:
+        return None
+    return f(a, d)

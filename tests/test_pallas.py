@@ -130,3 +130,31 @@ def test_fused_batched1d_multilevel_roundtrip():
     y = dwt.waverec1(pyr, fb, 512)
     dwt.set_kernels("auto")
     assert float(jnp.abs(y - x).max()) < 5e-6
+
+
+@pytest.mark.parametrize("wname", ["haar", "db3"])
+@pytest.mark.parametrize("level", [1, 2])
+def test_fused_swt1d_level(wname, level):
+    from pypwt_tpu.core import conv
+    fb = get_filter_bank(wname)
+    x = _rand((64, 256))
+    want = conv.swt_analysis_last(x, fb.dec_lo, fb.dec_hi, level)
+    got = pk.swt1d_level_fused(x, fb, level)
+    assert got is not None
+    for g, r in zip(got, want):
+        assert float(jnp.abs(g - r.astype(jnp.float32)).max()) < 2e-5
+    bw = conv.swt_synthesis_last(*[w.astype(jnp.float32) for w in want],
+                                 fb.rec_lo, fb.rec_hi, level)
+    bg = pk.iswt1d_level_fused(*got, fb, level)
+    assert float(jnp.abs(bg - bw).max()) < 2e-5
+
+
+def test_fused_swt1d_multilevel_roundtrip():
+    from pypwt_tpu.core import swt, dwt
+    fb = get_filter_bank("db2")
+    x = _rand((32, 128))
+    dwt.set_kernels("pallas")
+    pyr = swt.swt1d(x, fb, 3)
+    y = swt.iswt1d(pyr, fb)
+    dwt.set_kernels("auto")
+    assert float(jnp.abs(y - x).max()) < 5e-6
