@@ -74,3 +74,21 @@ def time_chained(step, x0, iters: int = 128, reps: int = 3) -> float:
         device_sync(out)
         times.append(time.perf_counter() - t0)
     return max((float(np.median(times)) - rb) / iters, 1e-12)
+
+
+def enable_compile_cache(path: str = "~/.cache/pypwt_tpu_xla"):
+    """Enable JAX's persistent compilation cache.
+
+    First compilation of a (shape, wavelet, levels) plan costs seconds on
+    TPU; the cache makes process restarts free.  Call once before any
+    transform."""
+    import os
+    p = os.path.expanduser(path)
+    os.makedirs(p, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", p)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    try:
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+    return p

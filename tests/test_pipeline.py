@@ -56,3 +56,15 @@ def test_cycle_spinning_reproducible_and_denoises():
                                            10.0, jax.random.key(8),
                                            n_spins=4)
     assert float(np.abs(np.asarray(o1) - np.asarray(o3)).max()) > 0
+
+
+def test_profiling_utils(tmp_path):
+    from pypwt_tpu.utils import profiling
+    x = jnp.asarray(np.ones((8, 128), np.float32))
+    assert profiling.device_sync(x) == 1.0
+    t = profiling.time_chained(lambda v: v * 1.0000001, x, iters=8,
+                               reps=2)
+    assert t > 0
+    p = profiling.enable_compile_cache(str(tmp_path / "xla_cache"))
+    import os
+    assert os.path.isdir(p)
