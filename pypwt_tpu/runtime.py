@@ -329,6 +329,11 @@ _F_BATCHED = 2
 
 def save_checkpoint(fname, W):
     """Snapshot a ``Wavelets`` plan's coefficient pyramid to disk."""
+    from .filters import wavelist
+    if W.wname not in wavelist():
+        raise ValueError(
+            "checkpointing plans with custom filter banks is not "
+            "supported (the bank cannot be restored by name)")
     planes = [np.ascontiguousarray(W.coeff_only(0), dtype=np.float32)]
     nsub = 3 if W._eff_ndim == 2 else 1
     for num in range(1, nsub * W.levels + 1):

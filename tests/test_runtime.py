@@ -126,3 +126,15 @@ def test_checkpoint_swt_and_1d(tmp_path):
     W4 = runtime.load_checkpoint(p2)
     for num in range(4):
         np.testing.assert_allclose(W3.coeff_only(num), W4.coeff_only(num))
+
+
+def test_checkpoint_custom_bank_refused():
+    from pypwt_tpu import get_filter_bank
+    img = np.random.default_rng(9).random((32, 32)).astype(np.float32)
+    W = Wavelets(img, "db2", 2)
+    fb = get_filter_bank("db2")
+    W.set_wavelets_filters("mybank", fb.dec_lo, fb.dec_hi, fb.rec_lo,
+                           fb.rec_hi)
+    W.forward()
+    with pytest.raises(ValueError):
+        runtime.save_checkpoint("/tmp/should_not_exist.pwtc", W)
