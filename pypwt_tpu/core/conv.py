@@ -241,3 +241,118 @@ def _apply_along(fn, axis, x, *arrays):
     if isinstance(res, tuple):
         return tuple(jnp.swapaxes(r, axis, -1) for r in res)
     return jnp.swapaxes(res, axis, -1)
+
+
+# ---------------------------------------------------------------------------
+# Long-1D layout: fold a single long signal into rows with inter-row halos
+# ---------------------------------------------------------------------------
+
+def long1d_shape(n: int, min_n: int = 1 << 15, max_cols: int = 8192,
+                 min_rows: int = 8):
+    """(rows, cols) folding for a long 1D signal, or None.
+
+    A (1, n) layout is hostile to the TPU (one sublane, millions of
+    lanes); row-major folding with neighbor-row halos turns the 1D
+    transform into the fast batched-row form.
+    """
+    if n < min_n or n % 2:
+        return None
+    # prefer lane-aligned widths (multiples of 128), then any even divisor
+    for c in range(max_cols, 255, -128):
+        if c % 128 == 0 and n % c == 0 and n // c >= min_rows:
+            return n // c, c
+    for c in range(max_cols, 255, -2):
+        if n % c == 0 and n // c >= min_rows:
+            return n // c, c
+    return None
+
+
+def fold_rows_analysis(x2, lpad: int, rpad: int):
+    """Pad each row with the previous row's tail / next row's head
+    (rows wrap, matching global periodicity of the flattened signal)."""
+    parts = []
+    if lpad:
+        parts.append(jnp.roll(x2[:, -lpad:], 1, axis=0))
+    parts.append(x2)
+    if rpad:
+        parts.append(jnp.roll(x2[:, :rpad], -1, axis=0))
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else x2
+
+
+def analysis_long1d(x, dec_lo, dec_hi, rc):
+    """Single-level decimating analysis of a long 1D signal folded to
+    ``rc = (rows, cols)``; returns flat (n/2,) lo/hi.
+
+    The optimization barrier scopes each level: XLA miscompiles chained
+    fold-reshape levels at very large sizes (observed: 5-level 1e7
+    roundtrip err ~0.9 on TPU without it, exact with it)."""
+    import jax
+    x = jax.lax.optimization_barrier(x)
+    r, c = rc
+    hlen = len(dec_lo)
+    x2 = x.reshape(r, c)
+    lpad, rpad = analysis_pads(hlen)
+    xp = fold_rows_analysis(x2, lpad, rpad)
+    lo, hi = analysis_core(xp, dec_lo, dec_hi, c // 2)
+    return lo.reshape(-1), hi.reshape(-1)
+
+
+def synthesis_long1d(lo, hi, rec_lo, rec_hi, n_out: int, rc):
+    """Single-level synthesis of a folded long 1D signal; ``rc`` is the
+    folding of the COEFFICIENT length (n_out//2)."""
+    r, c = rc
+    hlen = len(rec_lo)
+    lpad, rpad = synthesis_pads(hlen, c, 2 * c)
+    import jax
+    lo, hi = jax.lax.optimization_barrier((lo, hi))
+    lop = fold_rows_analysis(lo.reshape(r, c), lpad, rpad)
+    hip = fold_rows_analysis(hi.reshape(r, c), lpad, rpad)
+    out = synthesis_core(lop, hip, rec_lo, rec_hi, 2 * c, c, lpad)
+    return out.reshape(-1)
+
+
+def swt_analysis_long1d(x, dec_lo, dec_hi, level: int, rc):
+    """Single-level a-trous analysis of a folded long 1D signal."""
+    r, c = rc
+    n = x.shape[0]
+    hlen = len(dec_lo)
+    s = hlen // 2
+    factor = 1 << (level - 1)
+    lpad, rpad = (hlen - 1 - s) * factor, s * factor
+    if max(lpad, rpad) > c:
+        return None  # halo exceeds one row; caller falls back
+    xp = fold_rows_analysis(x.reshape(r, c), lpad, rpad)
+    flo = _as_taps(dec_lo, x.dtype)
+    fhi = _as_taps(dec_hi, x.dtype)
+    lo = None
+    hi = None
+    for k in range(hlen):
+        ofs = lpad + (s - k) * factor
+        seg = xp[:, ofs: ofs + c]
+        lo = seg * flo[k] if lo is None else lo + seg * flo[k]
+        hi = seg * fhi[k] if hi is None else hi + seg * fhi[k]
+    return lo.reshape(n), hi.reshape(n)
+
+
+def swt_synthesis_long1d(lo, hi, rec_lo, rec_hi, level: int, rc):
+    """Single-level a-trous synthesis of a folded long 1D pair."""
+    r, c = rc
+    n = lo.shape[0]
+    hlen = len(rec_lo)
+    s = hlen // 2 - 1 if hlen % 2 == 0 else hlen // 2
+    factor = 1 << (level - 1)
+    lpad, rpad = (hlen - 1 - s) * factor, max(s, 0) * factor
+    if max(lpad, rpad) > c:
+        return None
+    lop = fold_rows_analysis(lo.reshape(r, c), lpad, rpad)
+    hip = fold_rows_analysis(hi.reshape(r, c), lpad, rpad)
+    flo = _as_taps(rec_lo, lo.dtype)
+    fhi = _as_taps(rec_hi, lo.dtype)
+    half = jnp.asarray(0.5, lo.dtype)
+    out = None
+    for k in range(hlen):
+        ofs = lpad + (s - k) * factor
+        seg = (lop[:, ofs: ofs + c] * (flo[k] * half)
+               + hip[:, ofs: ofs + c] * (fhi[k] * half))
+        out = seg if out is None else out + seg
+    return out.reshape(n)

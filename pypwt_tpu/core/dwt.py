@@ -56,7 +56,13 @@ def _pk():
 def dwt1d(x, fb):
     """One analysis level along the last axis -> (a, d).
 
-    Batched (2D) float32 inputs run as a fused Pallas kernel on TPU."""
+    Batched (2D) float32 inputs run as a fused Pallas kernel on TPU;
+    single LONG signals are folded into rows with inter-row halos (a
+    (1, n) layout is pathologically slow on TPU)."""
+    if x.ndim == 1:
+        rc = conv.long1d_shape(x.shape[0])
+        if rc is not None and fb.hlen <= rc[1] // 2:
+            return conv.analysis_long1d(x, fb.dec_lo, fb.dec_hi, rc)
     if _pallas_enabled() and x.ndim == 2:
         r = _pk().dwt1d_fused(x, fb)
         if r is not None:
@@ -66,6 +72,11 @@ def dwt1d(x, fb):
 
 def idwt1d(a, d, fb, n_out):
     """One synthesis level along the last axis."""
+    if a.ndim == 1 and n_out == 2 * a.shape[0]:
+        rc = conv.long1d_shape(a.shape[0])
+        if rc is not None and fb.hlen <= rc[1] // 2:
+            return conv.synthesis_long1d(a, d, fb.rec_lo, fb.rec_hi,
+                                         n_out, rc)
     if _pallas_enabled() and a.ndim == 2:
         r = _pk().idwt1d_fused(a, d, fb, n_out)
         if r is not None:

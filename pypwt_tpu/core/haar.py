@@ -93,6 +93,12 @@ def haar_idwt2d(a, h, v, d, out_shape):
 
 def haar_dwt1d(x):
     """One (batched) 1D haar level along the last axis (haar.cu:132-146)."""
+    if x.ndim == 1:
+        rc = conv.long1d_shape(x.shape[0])
+        if rc is not None:
+            from ..filters import get_filter_bank
+            b = get_filter_bank("haar")
+            return conv.analysis_long1d(x, b.dec_lo, b.dec_hi, rc)
     fb = _pallas_fb()
     if fb is not None and x.ndim == 2:
         from ..ops import pallas_dwt
@@ -108,6 +114,13 @@ def haar_dwt1d(x):
 
 def haar_idwt1d(a, d, n_out):
     """One (batched) 1D haar inverse level (haar.cu:149-160)."""
+    if a.ndim == 1 and n_out == 2 * a.shape[0]:
+        rc = conv.long1d_shape(a.shape[0])
+        if rc is not None:
+            from ..filters import get_filter_bank
+            b = get_filter_bank("haar")
+            return conv.synthesis_long1d(a, d, b.rec_lo, b.rec_hi,
+                                         n_out, rc)
     fb = _pallas_fb()
     if fb is not None and a.ndim == 2:
         from ..ops import pallas_dwt

@@ -244,3 +244,38 @@ def test_roundtrip_all_wavelets_2d():
             if err > 1e-8:
                 failures.append((name, err))
     assert not failures, failures
+
+
+def test_long1d_fold_matches_direct():
+    """Long signals fold into rows (a (1, n) layout is pathologically
+    slow on TPU); results must match the direct path exactly."""
+    from pypwt_tpu.core import conv, dwt, swt
+    from pypwt_tpu.filters import get_filter_bank
+    import numpy as np
+    import jax.numpy as jnp
+    rng = np.random.default_rng(11)
+    for n in (1 << 16, 600_000):
+        fb = get_filter_bank("db2")
+        x = jnp.asarray(rng.random(n, dtype=np.float32))
+        rc = conv.long1d_shape(n)
+        assert rc is not None and rc[0] * rc[1] == n and rc[1] % 2 == 0
+        want = conv.analysis_last(x, fb.dec_lo, fb.dec_hi)
+        got = conv.analysis_long1d(x, fb.dec_lo, fb.dec_hi, rc)
+        for g, w in zip(got, want):
+            assert float(jnp.abs(g - w).max()) == 0.0
+        # multi-level API roundtrip through the folded path
+        pyr = dwt.wavedec1(x, fb, 4)
+        y = dwt.waverec1(pyr, fb, n)
+        assert float(jnp.abs(y - x).max()) < 7e-4
+        # SWT folded path
+        ps = swt.swt1d(x, fb, 2)
+        ys = swt.iswt1d(ps, fb)
+        assert float(jnp.abs(ys - x).max()) < 7e-4
+
+
+def test_long1d_shape_rules():
+    from pypwt_tpu.core import conv
+    assert conv.long1d_shape(100) is None          # too small
+    assert conv.long1d_shape((1 << 16) + 1) is None  # odd
+    r, c = conv.long1d_shape(1 << 20)
+    assert c % 128 == 0                             # aligned preference
