@@ -88,9 +88,17 @@ def main():
 
     # batched 1D
     b0 = ubench.make_inputs((2048, 4096))[0]
-    rt1 = lambda v: dwt.waverec1(dwt.wavedec1(v, fb, 3), fb, 4096)
+    rt1 = lambda v: dwt.waverec1(dwt.wavedec1(v, fb, 3), fb, 3 * 0 + 4096)
     record("dwt1d_batched2048_roundtrip_db2_L3_4096",
            ubench.timeit_chained(rt1, b0, iters=max(16, iters // 4)))
+
+    # long single 1D signal (reference sweeps 1D up to 1e7)
+    if not args.quick:
+        nl = 1 << 22
+        l0 = ubench.make_inputs((nl,))[0]
+        rtl = lambda v: dwt.waverec1(dwt.wavedec1(v, fb, 5), fb, nl)
+        record("dwt1d_long_roundtrip_db2_L5_4Mi",
+               ubench.timeit_chained(rtl, l0, iters=16))
 
     if args.out:
         with open(args.out, "a") as f:
