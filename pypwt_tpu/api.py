@@ -296,8 +296,9 @@ class Wavelets:
         if x.ndim == 1:
             return _roll1(x, sc)
         if self._eff_ndim == 1:
-            return _roll1(x, sc)  # batched 1D: rows shift independently? no:
-            # reference shifts only columns for ndims==1 (common.cu:386)
+            # batched 1D shifts along columns only (common.cu:386 passes
+            # sr=0 for ndims==1); every row shifts by the same amount.
+            return _roll1(x, sc)
         return _roll2(x, sr, sc)
 
     def circshift(self, sr, sc):

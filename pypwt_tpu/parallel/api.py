@@ -122,29 +122,42 @@ class BatchedWavelets:
         self._guard()
         return float(thresh.norm2sq(self._coeffs))
 
+    def _denoise_step(self, normalize, hard):
+        """Jitted fused step, cached per (normalize, hard); beta is a
+        traced argument so sweeping it never recompiles (first compiles
+        cost tens of seconds on this platform)."""
+        key = (bool(normalize), bool(hard))
+        cache = getattr(self, "_denoise_cache", None)
+        if cache is None:
+            cache = self._denoise_cache = {}
+        if key not in cache:
+            fb, lv, shape = self._fb, self.levels, self.shape
+            swt_mode = self.do_swt
+
+            def step(x, beta):
+                if fb.hlen == 2 and not swt_mode:
+                    pyr = haar.haar_wavedec2(x, lv)
+                elif swt_mode:
+                    pyr = swt.swt2d(x, fb, lv)
+                else:
+                    pyr = dwt.wavedec2(x, fb, lv)
+                th = (thresh.hard_threshold if key[1]
+                      else thresh.soft_threshold)
+                pyr = th(pyr, beta, False, key[0])
+                if fb.hlen == 2 and not swt_mode:
+                    return haar.haar_waverec2(pyr, shape)
+                if swt_mode:
+                    return swt.iswt2d(pyr, fb)
+                return dwt.waverec2(pyr, fb, shape)
+
+            cache[key] = jax.jit(step)
+        return cache[key]
+
     def denoise(self, beta, normalize=0, hard=False):
         """Fused forward -> threshold -> inverse (one compiled step,
         no host round trips); returns self."""
-        fb, lv, shape = self._fb, self.levels, self.shape
-        swt_mode = self.do_swt
-
-        def step(x):
-            if fb.hlen == 2 and not swt_mode:
-                pyr = haar.haar_wavedec2(x, lv)
-            elif swt_mode:
-                pyr = swt.swt2d(x, fb, lv)
-            else:
-                pyr = dwt.wavedec2(x, fb, lv)
-            th = (thresh.hard_threshold if hard
-                  else thresh.soft_threshold)
-            pyr = th(pyr, float(beta), False, bool(normalize))
-            if fb.hlen == 2 and not swt_mode:
-                return haar.haar_waverec2(pyr, shape)
-            if swt_mode:
-                return swt.iswt2d(pyr, fb)
-            return dwt.waverec2(pyr, fb, shape)
-
-        self._stack = jax.jit(step)(self._stack)
+        step = self._denoise_step(normalize, hard)
+        self._stack = step(self._stack, jnp.float32(beta))
         self._coeffs = None
         return self
 

@@ -295,6 +295,8 @@ class FrameLoader:
             buf = np.fromfile(self.paths[fi], dtype=np.float32,
                               count=self.frame_elems,
                               offset=4 * self.frame_elems * fr)
+            if buf.size != self.frame_elems:
+                raise IOError("frame read failed")
             fr += 1
             if fr >= self.frames_per_file:
                 fi, fr = fi + 1, 0
@@ -322,9 +324,58 @@ class FrameLoader:
 # ---------------------------------------------------------------------------
 # Checkpoint / resume of a Wavelets plan's coefficients
 # ---------------------------------------------------------------------------
+#
+# One on-disk format for all paths: the PWTC layout of pwt_runtime.cpp
+# (header {magic 'PWTC', version, ndim, nr, nc, levels, flags, wname[32]}
+# then nplanes x {rows i32, cols i32, plane data}).  The pure-Python
+# writer/reader below produce/consume byte-identical files to the native
+# ones, so a checkpoint written with g++ present loads without it and
+# vice versa.  float64 plans set _F_F64 and store float64 planes (the
+# Python codec handles those; the float32-only native fast path is
+# skipped for them).
 
 _F_SWT = 1
 _F_BATCHED = 2
+_F_F64 = 4
+
+_CKPT_HDR = 60  # 4 magic + 6 * int32 + 32 wname
+
+
+def _py_ckpt_write(fname, ndim, nr, nc, levels, flags, wname, planes2d):
+    with open(fname, "wb") as f:
+        f.write(b"PWTC")
+        f.write(np.array([1, ndim, nr, nc, levels, flags],
+                         np.int32).tobytes())
+        f.write(wname.encode().ljust(32, b"\0")[:32])
+        for p in planes2d:
+            f.write(np.array(p.shape, np.int32).tobytes())
+            f.write(np.ascontiguousarray(p).tobytes())
+
+
+def _py_ckpt_read_header(fname):
+    with open(fname, "rb") as f:
+        hdr = f.read(_CKPT_HDR)
+    if len(hdr) != _CKPT_HDR or hdr[:4] != b"PWTC":
+        raise IOError(f"{fname}: not a PWTC checkpoint")
+    ver, ndim, nr, nc, levels, flags = np.frombuffer(
+        hdr[4:28], np.int32)
+    if ver != 1:
+        raise IOError(f"{fname}: unsupported PWTC version {ver}")
+    wname = hdr[28:60].split(b"\0", 1)[0].decode()
+    return int(ndim), int(nr), int(nc), int(levels), int(flags), wname
+
+
+def _py_ckpt_read_planes(fname, nplanes, dtype):
+    planes = []
+    with open(fname, "rb") as f:
+        f.seek(_CKPT_HDR)
+        for _ in range(nplanes):
+            r, c = np.frombuffer(f.read(8), np.int32)
+            buf = np.fromfile(f, dtype=dtype, count=int(r) * int(c))
+            if buf.size != int(r) * int(c):
+                raise IOError(f"{fname}: truncated checkpoint")
+            planes.append(buf.reshape(int(r), int(c)))
+    return planes
 
 
 def save_checkpoint(fname, W):
@@ -334,16 +385,18 @@ def save_checkpoint(fname, W):
         raise ValueError(
             "checkpointing plans with custom filter banks is not "
             "supported (the bank cannot be restored by name)")
-    planes = [np.ascontiguousarray(W.coeff_only(0), dtype=np.float32)]
+    dt = np.dtype(W.dtype)
+    planes = [np.ascontiguousarray(W.coeff_only(0), dtype=dt)]
     nsub = 3 if W._eff_ndim == 2 else 1
     for num in range(1, nsub * W.levels + 1):
-        planes.append(np.ascontiguousarray(W.coeff_only(num),
-                                           dtype=np.float32))
+        planes.append(np.ascontiguousarray(W.coeff_only(num), dtype=dt))
     planes2d = [p.reshape(p.shape[0], -1) if p.ndim == 2
                 else p.reshape(1, -1) for p in planes]
     flags = (_F_SWT if W.do_swt else 0) | (_F_BATCHED if W.batched1d else 0)
+    if dt == np.float64:
+        flags |= _F_F64
     lib = _load()
-    if lib:
+    if lib and dt == np.float32:
         n = len(planes2d)
         rows = (ctypes.c_int32 * n)(*[p.shape[0] for p in planes2d])
         cols = (ctypes.c_int32 * n)(*[p.shape[1] for p in planes2d])
@@ -356,31 +409,22 @@ def save_checkpoint(fname, W):
         if rc != 0:
             raise IOError(f"pwt_ckpt_save: error {rc}")
     else:
-        np.savez(fname, meta=np.array(
-            [W._eff_ndim, W.Nr, W.Nc, W.levels, flags], np.int32),
-            wname=np.array(W.wname),
-            **{f"p{i}": p for i, p in enumerate(planes2d)})
+        _py_ckpt_write(fname, W._eff_ndim, W.Nr, W.Nc, W.levels, flags,
+                       W.wname, planes2d)
 
 
-def load_checkpoint(fname, img_dtype=np.float32):
+def load_checkpoint(fname, img_dtype=None):
     """Rebuild a ``Wavelets`` plan from a checkpoint; its coefficients are
-    restored and ``inverse()`` is ready to run."""
+    restored and ``inverse()`` is ready to run.  The plan's dtype follows
+    the checkpoint (float64 plans round-trip as float64)."""
     from .api import Wavelets
-    lib = _load()
-    if lib:
-        nd = ctypes.c_int32()
-        nr = ctypes.c_int32()
-        nc = ctypes.c_int32()
-        lv = ctypes.c_int32()
-        fl = ctypes.c_int32()
-        wn = ctypes.create_string_buffer(32)
-        rc = lib.pwt_ckpt_info(fname.encode(), nd, nr, nc, lv, fl, wn)
-        if rc != 0:
-            raise IOError(f"pwt_ckpt_info: error {rc}")
-        ndim, nr, nc = nd.value, nr.value, nc.value
-        levels, flags = lv.value, fl.value
-        wname = wn.value.decode()
+    ndim, nr, nc, levels, flags, wname = _py_ckpt_read_header(fname)
+    coeff_dtype = np.float64 if flags & _F_F64 else np.float32
+    nsub = 3 if ndim == 2 else 1
+    nplanes = 1 + nsub * levels
 
+    lib = _load()
+    if lib and coeff_dtype == np.float32:
         def plane(i):
             r = ctypes.c_int32()
             cc = ctypes.c_int32()
@@ -394,22 +438,18 @@ def load_checkpoint(fname, img_dtype=np.float32):
             if rc != 0:
                 raise IOError(f"pwt_ckpt_load_plane: error {rc}")
             return out
-        nsub = 3 if ndim == 2 else 1
-        planes = [plane(i) for i in range(1 + nsub * levels)]
+        planes = [plane(i) for i in range(nplanes)]
     else:
-        z = np.load(fname if fname.endswith(".npz") else fname + ".npz",
-                    allow_pickle=False)
-        ndim, nr, nc, levels, flags = [int(v) for v in z["meta"]]
-        wname = str(z["wname"])
-        nsub = 3 if ndim == 2 else 1
-        planes = [z[f"p{i}"] for i in range(1 + nsub * levels)]
+        planes = _py_ckpt_read_planes(fname, nplanes, coeff_dtype)
 
     do_swt = bool(flags & _F_SWT)
     batched = bool(flags & _F_BATCHED)
+    if img_dtype is None:
+        img_dtype = coeff_dtype
     img = np.zeros((nr, nc) if (ndim == 2 or batched) else (nc,),
                    dtype=img_dtype)
     W = Wavelets(img, wname, levels, do_swt=int(do_swt),
-                 ndim=1 if batched else ndim)
+                 ndim=1 if batched else ndim, dtype=coeff_dtype)
     for num, p in enumerate(planes):
         ref_shape = np.shape(W._coeff_ref(num))
         W.set_coeff(p.reshape(ref_shape), num)

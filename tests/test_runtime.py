@@ -128,6 +128,49 @@ def test_checkpoint_swt_and_1d(tmp_path):
         np.testing.assert_allclose(W3.coeff_only(num), W4.coeff_only(num))
 
 
+def test_checkpoint_cross_format(tmp_path, monkeypatch):
+    """Python writer and native writer produce one on-disk PWTC format:
+    a file written by either path loads through the other."""
+    img = np.random.default_rng(5).random((32, 48)).astype(np.float32)
+    W = Wavelets(img, "db2", 2)
+    W.forward()
+
+    p_native = str(tmp_path / "native.pwtc")
+    runtime.save_checkpoint(p_native, W)  # native when g++ is present
+
+    p_py = str(tmp_path / "python.pwtc")
+    monkeypatch.setattr(runtime, "_load", lambda: None)
+    runtime.save_checkpoint(p_py, W)  # forced pure-Python writer
+
+    # pure-Python reader on the native-written file
+    W2 = runtime.load_checkpoint(p_native)
+    # restore native and read the Python-written file through it
+    monkeypatch.undo()
+    W3 = runtime.load_checkpoint(p_py)
+    if runtime.available():
+        with open(p_native, "rb") as f1, open(p_py, "rb") as f2:
+            assert f1.read() == f2.read()
+    for num in range(1 + 3 * W.levels):
+        np.testing.assert_array_equal(W.coeff_only(num), W2.coeff_only(num))
+        np.testing.assert_array_equal(W.coeff_only(num), W3.coeff_only(num))
+
+
+def test_checkpoint_float64(tmp_path):
+    """float64 plans checkpoint without precision loss and restore as
+    float64 (dtype recorded in the header flags)."""
+    img = np.random.default_rng(6).random((32, 32)).astype(np.float64)
+    W = Wavelets(img, "db3", 2, dtype=np.float64)
+    W.forward()
+    p = str(tmp_path / "ckpt64.pwtc")
+    runtime.save_checkpoint(p, W)
+    W2 = runtime.load_checkpoint(p)
+    assert W2.dtype == np.dtype(np.float64)
+    for num in range(1 + 3 * W.levels):
+        a, b = np.asarray(W.coeff_only(num)), np.asarray(W2.coeff_only(num))
+        assert a.dtype == np.float64 and b.dtype == np.float64
+        np.testing.assert_array_equal(a, b)
+
+
 def test_checkpoint_custom_bank_refused():
     from pypwt_tpu import get_filter_bank
     img = np.random.default_rng(9).random((32, 32)).astype(np.float32)
