@@ -268,14 +268,27 @@ def long1d_shape(n: int, min_n: int = 1 << 15, max_cols: int = 8192,
 
 
 def fold_rows_analysis(x2, lpad: int, rpad: int):
-    """Pad each row with the previous row's tail / next row's head
-    (rows wrap, matching global periodicity of the flattened signal)."""
+    """Pad each row with the tails/heads of its neighbor rows (rows wrap,
+    matching global periodicity of the flattened signal).  Pads larger
+    than one row gather from further neighbors, so dilated (SWT) supports
+    never force the pathological (1, n) layout."""
+    r, c = x2.shape
     parts = []
-    if lpad:
-        parts.append(jnp.roll(x2[:, -lpad:], 1, axis=0))
+    nl = -(-lpad // c) if lpad else 0
+    for step in range(nl, 0, -1):
+        seg = jnp.roll(x2, step, axis=0)
+        width = lpad - (step - 1) * c
+        if width < c:
+            seg = seg[:, c - width:]
+        parts.append(seg)
     parts.append(x2)
-    if rpad:
-        parts.append(jnp.roll(x2[:, :rpad], -1, axis=0))
+    nr_ = -(-rpad // c) if rpad else 0
+    for step in range(1, nr_ + 1):
+        seg = jnp.roll(x2, -step, axis=0)
+        width = rpad - (step - 1) * c
+        if width < c:
+            seg = seg[:, :width]
+        parts.append(seg)
     return jnp.concatenate(parts, axis=1) if len(parts) > 1 else x2
 
 
@@ -311,6 +324,24 @@ def synthesis_long1d(lo, hi, rec_lo, rec_hi, n_out: int, rc):
     return out.reshape(-1)
 
 
+def _swt_long1d_segs(x2, s, factor, hlen, lpad, rpad):
+    """Per-tap segments of a folded plane for the a-trous transform.
+
+    When the dilation is a whole number of rows (factor % c == 0, the
+    deep-level regime), every tap offset is a pure row roll — no padding
+    or lane shifts at all.  Otherwise the rows are folded with (possibly
+    multi-row) halos and the taps are lane slices.
+    """
+    r, c = x2.shape
+    if factor % c == 0:
+        # seg_k[i] = x[(i + (s-k)*factor) mod n]: content shifts backward
+        rows = factor // c
+        return [jnp.roll(x2, -(s - k) * rows, axis=0) for k in range(hlen)]
+    xp = fold_rows_analysis(x2, lpad, rpad)
+    return [xp[:, lpad + (s - k) * factor: lpad + (s - k) * factor + c]
+            for k in range(hlen)]
+
+
 def swt_analysis_long1d(x, dec_lo, dec_hi, level: int, rc):
     """Single-level a-trous analysis of a folded long 1D signal."""
     r, c = rc
@@ -319,16 +350,13 @@ def swt_analysis_long1d(x, dec_lo, dec_hi, level: int, rc):
     s = hlen // 2
     factor = 1 << (level - 1)
     lpad, rpad = (hlen - 1 - s) * factor, s * factor
-    if max(lpad, rpad) > c:
-        return None  # halo exceeds one row; caller falls back
-    xp = fold_rows_analysis(x.reshape(r, c), lpad, rpad)
+    segs = _swt_long1d_segs(x.reshape(r, c), s, factor, hlen, lpad, rpad)
     flo = _as_taps(dec_lo, x.dtype)
     fhi = _as_taps(dec_hi, x.dtype)
     lo = None
     hi = None
     for k in range(hlen):
-        ofs = lpad + (s - k) * factor
-        seg = xp[:, ofs: ofs + c]
+        seg = segs[k]
         lo = seg * flo[k] if lo is None else lo + seg * flo[k]
         hi = seg * fhi[k] if hi is None else hi + seg * fhi[k]
     return lo.reshape(n), hi.reshape(n)
@@ -342,17 +370,15 @@ def swt_synthesis_long1d(lo, hi, rec_lo, rec_hi, level: int, rc):
     s = hlen // 2 - 1 if hlen % 2 == 0 else hlen // 2
     factor = 1 << (level - 1)
     lpad, rpad = (hlen - 1 - s) * factor, max(s, 0) * factor
-    if max(lpad, rpad) > c:
-        return None
-    lop = fold_rows_analysis(lo.reshape(r, c), lpad, rpad)
-    hip = fold_rows_analysis(hi.reshape(r, c), lpad, rpad)
+    segs_l = _swt_long1d_segs(lo.reshape(r, c), s, factor, hlen, lpad,
+                              rpad)
+    segs_h = _swt_long1d_segs(hi.reshape(r, c), s, factor, hlen, lpad,
+                              rpad)
     flo = _as_taps(rec_lo, lo.dtype)
     fhi = _as_taps(rec_hi, lo.dtype)
     half = jnp.asarray(0.5, lo.dtype)
     out = None
     for k in range(hlen):
-        ofs = lpad + (s - k) * factor
-        seg = (lop[:, ofs: ofs + c] * (flo[k] * half)
-               + hip[:, ofs: ofs + c] * (fhi[k] * half))
+        seg = segs_l[k] * (flo[k] * half) + segs_h[k] * (fhi[k] * half)
         out = seg if out is None else out + seg
     return out.reshape(n)

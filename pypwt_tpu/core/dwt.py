@@ -23,34 +23,55 @@ from . import conv
 from .shapes import div2
 
 # Kernel selection: "auto" runs the fused Pallas level kernels on TPU for
-# shapes they cover (falling back to jnp per-config); "jnp"/"pallas" force
-# a path.  Measured on TPU v5 (2048^2, db2, 3 levels, chained timing):
-# pallas round trip 209 us vs jnp 379 us — the fused kernels win once the
-# bands are wide enough for full 128-lane transposed tiles (requires the
-# raised Mosaic VMEM limit, see ops/pallas_dwt.py).
+# shapes they cover (falling back to jnp per-config); "jnp"/"pallas"/"mxu"
+# force a path.  Measured on TPU v5 (2048^2, db2, 3 levels, chained
+# timing): pallas round trip 209 us vs jnp 379 us — the fused kernels win
+# once the bands are wide enough for full 128-lane transposed tiles
+# (requires the raised Mosaic VMEM limit, see ops/pallas_dwt.py).
+#
+# Wide filters (hlen >= _MXU_MIN_HLEN) route to the banded MXU-dot
+# kernels (ops/mxu_dwt.py), whose cost is tap-count-independent: measured
+# level-0 analysis at 2048^2 is ~104 us for db2 AND sym8, vs 103/274 us
+# on the VPU tap loops.
 _KERNEL_MODE = os.environ.get("PYPWT_KERNELS", "auto")
+# Measured roundtrips (2048^2, L3, chained): db2 VPU 237 vs MXU 229 (tie),
+# db4 318 vs 229, sym8 581 vs 231, coif3 583 vs 225.  MXU from db3 up;
+# haar/db2 keep the VPU tap loops (haar's 2-tap butterfly beats both).
+_MXU_MIN_HLEN = 6
 
 
 def set_kernels(mode: str):
-    """Select the compute path: 'auto', 'jnp', or 'pallas'."""
+    """Select the compute path: 'auto', 'jnp', 'pallas' (VPU tap loops),
+    or 'mxu' (banded MXU dots)."""
     global _KERNEL_MODE
-    if mode not in ("auto", "jnp", "pallas"):
-        raise ValueError("kernel mode must be auto|jnp|pallas")
+    if mode not in ("auto", "jnp", "pallas", "mxu"):
+        raise ValueError("kernel mode must be auto|jnp|pallas|mxu")
     _KERNEL_MODE = mode
 
 
 def _pallas_enabled():
     if _KERNEL_MODE == "jnp":
         return False
-    if _KERNEL_MODE == "pallas":
+    if _KERNEL_MODE in ("pallas", "mxu"):
         return True
     import jax
     return jax.default_backend() == "tpu"
 
 
+def _mxu_wanted(fb):
+    if _KERNEL_MODE == "mxu":
+        return True
+    return _KERNEL_MODE == "auto" and fb.hlen >= _MXU_MIN_HLEN
+
+
 def _pk():
     from ..ops import pallas_dwt
     return pallas_dwt
+
+
+def _mx():
+    from ..ops import mxu_dwt
+    return mxu_dwt
 
 
 def dwt1d(x, fb):
@@ -62,8 +83,16 @@ def dwt1d(x, fb):
     if x.ndim == 1:
         rc = conv.long1d_shape(x.shape[0])
         if rc is not None and fb.hlen <= rc[1] // 2:
+            if _pallas_enabled():
+                r = _pk().dwt1d_long_fused(x, fb, rc)
+                if r is not None:
+                    return r
             return conv.analysis_long1d(x, fb.dec_lo, fb.dec_hi, rc)
     if _pallas_enabled() and x.ndim == 2:
+        if _mxu_wanted(fb):
+            r = _mx().dwt1d_fused_mxu(x, fb)
+            if r is not None:
+                return r
         r = _pk().dwt1d_fused(x, fb)
         if r is not None:
             return r
@@ -75,9 +104,17 @@ def idwt1d(a, d, fb, n_out):
     if a.ndim == 1 and n_out == 2 * a.shape[0]:
         rc = conv.long1d_shape(a.shape[0])
         if rc is not None and fb.hlen <= rc[1] // 2:
+            if _pallas_enabled():
+                r = _pk().idwt1d_long_fused(a, d, fb, n_out, rc)
+                if r is not None:
+                    return r
             return conv.synthesis_long1d(a, d, fb.rec_lo, fb.rec_hi,
                                          n_out, rc)
     if _pallas_enabled() and a.ndim == 2:
+        if _mxu_wanted(fb):
+            r = _mx().idwt1d_fused_mxu(a, d, fb, n_out)
+            if r is not None:
+                return r
         r = _pk().idwt1d_fused(a, d, fb, n_out)
         if r is not None:
             return r
@@ -92,6 +129,10 @@ def dwt2d(x, fb):
     run as one fused Pallas kernel (ops/pallas_dwt.py).
     """
     if _pallas_enabled():
+        if _mxu_wanted(fb):
+            r = _mx().dwt2d_fused_mxu(x, fb)
+            if r is not None:
+                return r
         r = _pk().dwt2d_fused(x, fb)
         if r is not None:
             return r
@@ -107,6 +148,10 @@ def dwt2d(x, fb):
 def idwt2d(a, h, v, d, fb, out_shape):
     """One separable 2D synthesis level -> image of ``out_shape``."""
     if _pallas_enabled():
+        if _mxu_wanted(fb):
+            r = _mx().idwt2d_fused_mxu(a, h, v, d, fb, out_shape)
+            if r is not None:
+                return r
         r = _pk().idwt2d_fused(a, h, v, d, fb, out_shape)
         if r is not None:
             return r

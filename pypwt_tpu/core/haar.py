@@ -98,6 +98,11 @@ def haar_dwt1d(x):
         if rc is not None:
             from ..filters import get_filter_bank
             b = get_filter_bank("haar")
+            if _pallas_fb() is not None:
+                from ..ops import pallas_dwt
+                r = pallas_dwt.dwt1d_long_fused(x, b, rc)
+                if r is not None:
+                    return r
             return conv.analysis_long1d(x, b.dec_lo, b.dec_hi, rc)
     fb = _pallas_fb()
     if fb is not None and x.ndim == 2:
@@ -119,6 +124,11 @@ def haar_idwt1d(a, d, n_out):
         if rc is not None:
             from ..filters import get_filter_bank
             b = get_filter_bank("haar")
+            if _pallas_fb() is not None:
+                from ..ops import pallas_dwt
+                r = pallas_dwt.idwt1d_long_fused(a, d, b, n_out, rc)
+                if r is not None:
+                    return r
             return conv.synthesis_long1d(a, d, b.rec_lo, b.rec_hi,
                                          n_out, rc)
     fb = _pallas_fb()

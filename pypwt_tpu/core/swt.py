@@ -24,10 +24,12 @@ def swt1d_level(x, fb, level):
     if x.ndim == 1:
         rc = conv.long1d_shape(x.shape[0])
         if rc is not None:
-            r = conv.swt_analysis_long1d(x, fb.dec_lo, fb.dec_hi, level,
-                                         rc)
-            if r is not None:
-                return r
+            if _pallas_enabled():
+                r = _pk().swt1d_long_fused(x, fb, level, rc)
+                if r is not None:
+                    return r
+            return conv.swt_analysis_long1d(x, fb.dec_lo, fb.dec_hi,
+                                            level, rc)
     if _pallas_enabled() and x.ndim == 2:
         r = _pk().swt1d_level_fused(x, fb, level)
         if r is not None:
@@ -39,10 +41,12 @@ def iswt1d_level(a, d, fb, level):
     if a.ndim == 1:
         rc = conv.long1d_shape(a.shape[0])
         if rc is not None:
-            r = conv.swt_synthesis_long1d(a, d, fb.rec_lo, fb.rec_hi,
-                                          level, rc)
-            if r is not None:
-                return r
+            if _pallas_enabled():
+                r = _pk().iswt1d_long_fused(a, d, fb, level, rc)
+                if r is not None:
+                    return r
+            return conv.swt_synthesis_long1d(a, d, fb.rec_lo, fb.rec_hi,
+                                             level, rc)
     if _pallas_enabled() and a.ndim == 2:
         r = _pk().iswt1d_level_fused(a, d, fb, level)
         if r is not None:

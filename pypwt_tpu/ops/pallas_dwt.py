@@ -65,6 +65,12 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 _VMEM_BUDGET = 30 * 1024 * 1024
 
 
+# Every _pick_bands decision, keyed by its arguments — benches dump this
+# (tools/bench_suite.py) so VMEM-budget drift that silently changes band
+# geometry is visible across rounds.
+BAND_CHOICES: dict = {}
+
+
 def _pick_bands(n_rows, n_cols, lpad, rpad, n_bufs, max_body=512):
     """Choose (body_rows IB, halo_block H) or None if not tileable.
 
@@ -85,7 +91,10 @@ def _pick_bands(n_rows, n_cols, lpad, rpad, n_bufs, max_body=512):
             continue
         ws = (lpad + ib + rpad + 2 * hh) * n_cols * 4 * n_bufs
         if ws <= _VMEM_BUDGET:
+            BAND_CHOICES[(n_rows, n_cols, lpad, rpad, n_bufs,
+                          max_body)] = (ib, hh)
             return ib, hh
+    BAND_CHOICES[(n_rows, n_cols, lpad, rpad, n_bufs, max_body)] = None
     return None
 
 
@@ -770,3 +779,205 @@ def iswt1d_level_fused(a, d, fb, level):
     if f is None:
         return None
     return f(a, d)
+
+
+# ---------------------------------------------------------------------------
+# Long-1D: fused kernels on pre-folded rows.  A single long signal is
+# folded to (rows, cols) with inter-row halo columns gathered in XLA
+# (conv.fold_rows_analysis); the kernel then runs the batched lane-axis
+# transform with NO in-kernel periodic wrap.  This routes the long-1D
+# path (previously jnp-only, ~40x off roofline) through the same
+# transposed-sublane machinery as the batched-1D kernels.
+# ---------------------------------------------------------------------------
+
+def _dwt1d_padded_kernel(flo, fhi, L, body_ref, lo_ref, hi_ref):
+    tp = body_ref[:, :].T  # (c + lp + rp, ib), pads included
+    lo, hi = _analysis_sub(tp, flo, fhi, L)
+    lo_ref[:, :] = lo.T
+    hi_ref[:, :] = hi.T
+
+
+@functools.lru_cache(maxsize=512)
+def _build_dwt1d_padded(nr, c, lp, rp, flo, fhi, interpret):
+    hlen = len(flo)
+    if hlen % 2 or c % 2:
+        return None
+    nc_pad = c + lp + rp
+    if nc_pad % 2:
+        return None
+    bands = _pick_bands(nr, nc_pad, 0, 0, n_bufs=6)
+    if bands is None:
+        return None
+    ib, _ = bands
+    body = pl.BlockSpec((ib, nc_pad), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ib, c // 2), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr, c // 2), jnp.float32)
+    kern = functools.partial(_dwt1d_padded_kernel, flo, fhi, c // 2)
+    return pl.pallas_call(
+        kern, grid=(nr // ib,), in_specs=[body],
+        out_specs=[out_spec] * 2, out_shape=[out_sds] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+
+def dwt1d_long_fused(x, fb, rc):
+    """One analysis level of a long 1D signal via fold + fused kernel;
+    None if uncovered (caller falls back to the jnp folded path)."""
+    if x.ndim != 1 or x.dtype != jnp.float32:
+        return None
+    r, c = rc
+    lp, rp = conv.analysis_pads(fb.hlen)
+    f = _build_dwt1d_padded(r, c, lp, rp, _taps(fb.dec_lo),
+                            _taps(fb.dec_hi), _interpret())
+    if f is None:
+        return None
+    xp = conv.fold_rows_analysis(x.reshape(r, c), lp, rp)
+    lo, hi = f(xp)
+    return lo.reshape(-1), hi.reshape(-1)
+
+
+def _idwt1d_padded_kernel(flo, fhi, lp, c, a_ref, d_ref, out_ref):
+    out_ref[:, :] = _synthesis_sub(a_ref[:, :].T, d_ref[:, :].T,
+                                   flo, fhi, c, lp).T
+
+
+@functools.lru_cache(maxsize=512)
+def _build_idwt1d_padded(nr, c, lp, rp, flo, fhi, interpret):
+    hlen = len(flo)
+    if hlen % 2:
+        return None
+    nc_pad = c + lp + rp
+    bands = _pick_bands(nr, nc_pad, 0, 0, n_bufs=8)
+    if bands is None:
+        return None
+    ib, _ = bands
+    in_spec = pl.BlockSpec((ib, nc_pad), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ib, 2 * c), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr, 2 * c), jnp.float32)
+    kern = functools.partial(_idwt1d_padded_kernel, flo, fhi, lp, c)
+    return pl.pallas_call(
+        kern, grid=(nr // ib,), in_specs=[in_spec, in_spec],
+        out_specs=out_spec, out_shape=out_sds,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+
+def idwt1d_long_fused(a, d, fb, n_out, rc):
+    """One synthesis level of a long 1D pair via fold + fused kernel;
+    ``rc`` folds the coefficient length (n_out // 2)."""
+    if a.ndim != 1 or a.dtype != jnp.float32 or a.shape != d.shape:
+        return None
+    r, c = rc
+    if n_out != 2 * r * c:
+        return None
+    lp, rp = conv.synthesis_pads(fb.hlen, c, 2 * c)
+    f = _build_idwt1d_padded(r, c, lp, rp, _taps(fb.rec_lo),
+                             _taps(fb.rec_hi), _interpret())
+    if f is None:
+        return None
+    lop = conv.fold_rows_analysis(a.reshape(r, c), lp, rp)
+    hip = conv.fold_rows_analysis(d.reshape(r, c), lp, rp)
+    return f(lop, hip).reshape(-1)
+
+
+def _swt1d_padded_kernel(flo, fhi, lp, s, factor, c,
+                         body_ref, lo_ref, hi_ref):
+    tp = body_ref[:, :].T
+    lo, hi = _swt_sub(tp, flo, fhi, s, factor, lp, c)
+    lo_ref[:, :] = lo.T
+    hi_ref[:, :] = hi.T
+
+
+@functools.lru_cache(maxsize=512)
+def _build_swt1d_padded(nr, c, level, flo, fhi, interpret):
+    hlen = len(flo)
+    lp, rp, s, factor = _swt_pads(hlen, level, inverse=False)
+    bands = _pick_bands(nr, c + lp + rp, 0, 0, n_bufs=6)
+    if bands is None:
+        return None
+    ib, _ = bands
+    body = pl.BlockSpec((ib, c + lp + rp), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ib, c), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr, c), jnp.float32)
+    kern = functools.partial(_swt1d_padded_kernel, flo, fhi, lp, s,
+                             factor, c)
+    return pl.pallas_call(
+        kern, grid=(nr // ib,), in_specs=[body],
+        out_specs=[out_spec] * 2, out_shape=[out_sds] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret), lp, rp, factor
+
+
+def swt1d_long_fused(x, fb, level, rc):
+    """One a-trous analysis level of a long 1D signal via fold + fused
+    kernel; None if uncovered (deep whole-row dilations run the jnp
+    row-roll path, which is already streaming-bound)."""
+    if x.ndim != 1 or x.dtype != jnp.float32:
+        return None
+    r, c = rc
+    built = _build_swt1d_padded(r, c, level, _taps(fb.dec_lo),
+                                _taps(fb.dec_hi), _interpret())
+    if built is None:
+        return None
+    f, lp, rp, factor = built
+    if factor % c == 0:
+        return None  # row-roll fast path handles this better
+    xp = conv.fold_rows_analysis(x.reshape(r, c), lp, rp)
+    lo, hi = f(xp)
+    return lo.reshape(-1), hi.reshape(-1)
+
+
+def _iswt1d_padded_kernel(flo, fhi, lp, s, factor, c,
+                          a_ref, d_ref, out_ref):
+    out_ref[:, :] = _swt_combine_sub(a_ref[:, :].T, d_ref[:, :].T,
+                                     flo, fhi, s, factor, lp, c).T
+
+
+@functools.lru_cache(maxsize=512)
+def _build_iswt1d_padded(nr, c, level, flo, fhi, interpret):
+    hlen = len(flo)
+    lp, rp, s, factor = _swt_pads(hlen, level, inverse=True)
+    bands = _pick_bands(nr, c + lp + rp, 0, 0, n_bufs=8)
+    if bands is None:
+        return None
+    ib, _ = bands
+    spec = pl.BlockSpec((ib, c + lp + rp), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ib, c), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr, c), jnp.float32)
+    kern = functools.partial(_iswt1d_padded_kernel, flo, fhi, lp, s,
+                             factor, c)
+    return pl.pallas_call(
+        kern, grid=(nr // ib,), in_specs=[spec, spec],
+        out_specs=out_spec, out_shape=out_sds,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret), lp, rp, factor
+
+
+def iswt1d_long_fused(a, d, fb, level, rc):
+    """One a-trous synthesis level of a long 1D pair via fold + fused
+    kernel; None if uncovered."""
+    if a.ndim != 1 or a.dtype != jnp.float32 or a.shape != d.shape:
+        return None
+    r, c = rc
+    built = _build_iswt1d_padded(r, c, level, _taps(fb.rec_lo),
+                                 _taps(fb.rec_hi), _interpret())
+    if built is None:
+        return None
+    f, lp, rp, factor = built
+    if factor % c == 0:
+        return None
+    lop = conv.fold_rows_analysis(a.reshape(r, c), lp, rp)
+    hip = conv.fold_rows_analysis(d.reshape(r, c), lp, rp)
+    return f(lop, hip).reshape(-1)

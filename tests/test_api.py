@@ -212,6 +212,42 @@ def test_custom_filter_bank_roundtrip():
     assert np.abs(W.image - img).max() < 7e-4
 
 
+def test_custom_bank_odd_hlen_rejected():
+    """Odd filter lengths are refused with guidance to zero-pad (the
+    synthesis algebra assumes even hlen; the reference's own demo
+    zero-pads CDF 9/7 and LeGall 5/3 to even length, demo.cpp:83-179)."""
+    img = _img((32, 32))
+    W = Wavelets(img, "db2", 2)
+    f5 = np.array([-0.125, 0.25, 0.75, 0.25, -0.125])
+    with pytest.raises(ValueError, match="odd"):
+        W.set_wavelets_filters("legall_raw", f5, f5, f5, f5)
+
+
+def test_custom_bank_reference_demo_cdf97():
+    """The reference demo's zero-padded CDF 9/7 bank (demo.cpp:83-137)
+    reconstructs through our synthesis algebra."""
+    dec_lo = np.array([0.0, 0.026748757411, -0.016864118443,
+                       -0.078223266529, 0.266864118443, 0.602949018236,
+                       0.266864118443, -0.078223266529, -0.016864118443,
+                       0.026748757411])
+    dec_hi = np.array([0.0, 0.091271763114, -0.057543526229,
+                       -0.591271763114, 1.11508705, -0.591271763114,
+                       -0.057543526229, 0.091271763114, 0.0, 0.0])
+    rec_lo = np.array([0.0, -0.091271763114, -0.057543526229,
+                       0.591271763114, 1.11508705, 0.591271763114,
+                       -0.057543526229, -0.091271763114, 0.0, 0.0])
+    rec_hi = np.array([0.0, 0.026748757411, 0.016864118443,
+                       -0.078223266529, -0.266864118443, 0.602949018236,
+                       -0.266864118443, -0.078223266529, 0.016864118443,
+                       0.026748757411])
+    img = _img((64, 64))
+    W = Wavelets(img, "db2", 2)
+    W.set_wavelets_filters("cdf97", dec_lo, dec_hi, rec_lo, rec_hi)
+    W.forward()
+    W.inverse()
+    assert np.abs(W.image - img).max() < 7e-4
+
+
 def test_info_and_version():
     W = Wavelets(_img(), "db2", 2)
     s = repr(W)

@@ -279,3 +279,72 @@ def test_long1d_shape_rules():
     assert conv.long1d_shape((1 << 16) + 1) is None  # odd
     r, c = conv.long1d_shape(1 << 20)
     assert c % 128 == 0                             # aligned preference
+
+
+def test_long1d_fused_kernels_match_jnp():
+    """The fused long-1D kernels (fold + padded batched kernel) must
+    match the jnp folded path exactly (interpret mode on CPU)."""
+    from pypwt_tpu.core import conv
+    from pypwt_tpu.ops import pallas_dwt as pk
+    from pypwt_tpu.filters import get_filter_bank
+    import numpy as np
+    import jax.numpy as jnp
+    n = 1 << 16
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.random(n, dtype=np.float32))
+    rc = conv.long1d_shape(n)
+    for wname in ("haar", "db2", "sym8"):
+        fb = get_filter_bank(wname)
+        want = conv.analysis_long1d(x, fb.dec_lo, fb.dec_hi, rc)
+        got = pk.dwt1d_long_fused(x, fb, rc)
+        assert got is not None, wname
+        for g, w in zip(got, want):
+            assert float(jnp.abs(g - w).max()) < 1e-6, wname
+        rc2 = (rc[0] // 2, rc[1]) if rc[0] % 2 == 0 else None
+        rc_half = conv.long1d_shape(n // 2) or rc2
+        y = pk.idwt1d_long_fused(got[0], got[1], fb, n, rc_half)
+        assert y is not None, wname
+        yw = conv.synthesis_long1d(want[0], want[1], fb.rec_lo,
+                                   fb.rec_hi, n, rc_half)
+        assert float(jnp.abs(y - yw).max()) < 1e-6, wname
+        assert float(jnp.abs(y - x).max()) < 7e-4, wname
+        # stationary level (dilated taps, lane slices inside the kernel)
+        sw = conv.swt_analysis_long1d(x, fb.dec_lo, fb.dec_hi, 3, rc)
+        sg = pk.swt1d_long_fused(x, fb, 3, rc)
+        assert sg is not None, wname
+        for g, w in zip(sg, sw):
+            assert float(jnp.abs(g - w).max()) < 1e-6, wname
+        bw = conv.swt_synthesis_long1d(sw[0], sw[1], fb.rec_lo,
+                                       fb.rec_hi, 3, rc)
+        bg = pk.iswt1d_long_fused(sg[0], sg[1], fb, 3, rc)
+        assert bg is not None, wname
+        assert float(jnp.abs(bg - bw).max()) < 1e-6, wname
+
+
+def test_long1d_swt_deep_dilations():
+    """Dilated supports beyond one folded row: multi-row halos, and
+    whole-row rolls when the dilation is a row multiple — the (1, n)
+    fallback is never taken."""
+    from pypwt_tpu.core import conv
+    from pypwt_tpu.filters import get_filter_bank
+    import numpy as np
+    import jax.numpy as jnp
+    n = 1 << 16
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.random(n, dtype=np.float32))
+    rc = conv.long1d_shape(n)
+    # sym8 level 12: factor 2048, halo 8 * 2048 = 2 rows (multi-row fold);
+    # db2 level 14: factor 8192 = c (pure row rolls)
+    for wname, level in (("sym8", 12), ("db2", 14), ("db2", 5)):
+        fb = get_filter_bank(wname)
+        want = conv.swt_analysis_last(x, fb.dec_lo, fb.dec_hi, level)
+        got = conv.swt_analysis_long1d(x, fb.dec_lo, fb.dec_hi, level, rc)
+        assert got is not None, (wname, level)
+        for g, w in zip(got, want):
+            assert float(jnp.abs(g - w).max()) < 1e-6, (wname, level)
+        bw = conv.swt_synthesis_last(want[0], want[1], fb.rec_lo,
+                                     fb.rec_hi, level)
+        bg = conv.swt_synthesis_long1d(got[0], got[1], fb.rec_lo,
+                                       fb.rec_hi, level, rc)
+        assert bg is not None, (wname, level)
+        assert float(jnp.abs(bg - bw).max()) < 1e-6, (wname, level)

@@ -4,17 +4,26 @@
 The reference ships test/benchmark.py (shape sweep 128^2..2048^2, pywt vs
 PDWT wall-clock) and benchmark_results_parser.py (speedup tables).  This
 suite measures the same configurations with the hardened chained-timing
-protocol (tools/ubench.py) and emits one JSON object per line plus a
-markdown summary table, so rounds can be diffed.
+protocol (pypwt_tpu.utils.profiling) and emits one JSON object per line
+plus a markdown summary table, so rounds can be diffed.
+
+Every entry carries a CORRECTNESS GATE: the measured transform's
+round-trip (or differential) max error is computed on-device and recorded
+as ``max_err``; a silently-wrong kernel can no longer post a good number.
+The process exits non-zero if any gate fails.
 
 Usage:  python tools/bench_suite.py [--quick] [--out results.jsonl]
 
 Configs (BASELINE.md "benchmark configs"):
-  * 2D DWT fwd / inv / roundtrip, db2, 3 levels, 128^2 .. 2048^2
+  * 2D DWT roundtrip, db2, 3 levels, 128^2 .. 2048^2
   * wavelet family sweep haar/db4/sym8/coif3/bior4.4 at 2048^2, 3 levels
   * SWT db2, 4 levels, 1024^2
   * denoise pipeline (forward -> soft threshold -> inverse) 2048^2
+  * cycle-spinning denoise (4 spins) 2048^2
   * batched-1D: 2048 rows x 4096 samples, db2
+  * batched frame stack 8 x 2048^2 (per-frame throughput)
+  * long single 1D signal, 4Mi samples, 5 levels
+  * non-separable custom 2D bank roundtrip 2048^2
 """
 
 import argparse
@@ -29,6 +38,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 os.pardir))
 
+SCALE = 255.0  # match the reference's 0..255 test regime
+GATE = 7e-4 * SCALE  # reference roundtrip tolerance (test_wavelets.py:538)
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -38,67 +50,130 @@ def main():
     args = ap.parse_args()
 
     import jax
-    import ubench
+    import jax.numpy as jnp
+    from pypwt_tpu.utils import profiling
+    from pypwt_tpu.utils.profiling import timeit_chained, make_inputs
     from pypwt_tpu.filters import get_filter_bank
     from pypwt_tpu.core import dwt, swt, thresh
+
+    profiling.enable_compile_cache(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), os.pardir,
+        ".jax_cache_tpu"))
 
     dev = jax.devices()[0].device_kind
     iters = 64 if args.quick else 128
     results = []
+    failed = []
 
-    def record(name, seconds, unit="us"):
+    def record(name, seconds, max_err, gate=GATE, frames=1):
+        ok = bool(max_err <= gate)
         row = {"bench": name, "time_us": round(seconds * 1e6, 2),
-               "throughput_fps": round(1.0 / seconds, 1),
+               "throughput_fps": round(frames / seconds, 1),
+               "max_err": float(f"{max_err:.3e}"), "err_ok": ok,
                "device": dev}
         results.append(row)
+        if not ok:
+            failed.append(name)
         print(json.dumps(row), flush=True)
+
+    def rt_err(rt, x0):
+        """On-device roundtrip max-err (scalar readback only)."""
+        y = jax.jit(rt)(x0)
+        return float(jnp.abs(y - x0).max())
 
     sizes = [512, 2048] if args.quick else [128, 256, 512, 1024, 2048]
     fb = get_filter_bank("db2")
     for n in sizes:
-        x0 = ubench.make_inputs((n, n))[0]
+        x0 = make_inputs((n, n))[0] * SCALE
         rt = lambda v: dwt.waverec2(dwt.wavedec2(v, fb, 3), fb, (n, n))
         record(f"dwt2d_roundtrip_db2_L3_{n}",
-               ubench.timeit_chained(rt, x0, iters=iters))
+               timeit_chained(rt, x0, iters=iters), rt_err(rt, x0))
 
     n = 2048
-    x0 = ubench.make_inputs((n, n))[0]
+    x0 = make_inputs((n, n))[0] * SCALE
     for wname in (["db4"] if args.quick
                   else ["haar", "db4", "sym8", "coif3", "bior4.4"]):
         fbw = get_filter_bank(wname)
         rt = lambda v: dwt.waverec2(dwt.wavedec2(v, fbw, 3), fbw, (n, n))
         record(f"dwt2d_roundtrip_{wname}_L3_2048",
-               ubench.timeit_chained(rt, x0, iters=iters))
+               timeit_chained(rt, x0, iters=iters), rt_err(rt, x0))
 
     # SWT 1024^2, 4 levels
     m = 1024
     fb2 = get_filter_bank("db2")
-    s0 = ubench.make_inputs((m, m))[0]
+    s0 = make_inputs((m, m))[0] * SCALE
     rt_swt = lambda v: swt.iswt2d(swt.swt2d(v, fb2, 4), fb2)
     record("swt2d_roundtrip_db2_L4_1024",
-           ubench.timeit_chained(rt_swt, s0, iters=max(16, iters // 4)))
+           timeit_chained(rt_swt, s0, iters=max(16, iters // 4)),
+           rt_err(rt_swt, s0))
 
-    # denoise pipeline 2048^2
+    # denoise pipeline 2048^2 (thresholding changes values by design:
+    # gate on the underlying transform roundtrip instead)
     def denoise(v):
         c = dwt.wavedec2(v, fb, 3)
         c = thresh.soft_threshold(c, 1.0)
         return dwt.waverec2(c, fb, (n, n))
+    rt_plain = lambda v: dwt.waverec2(dwt.wavedec2(v, fb, 3), fb, (n, n))
     record("denoise_soft_db2_L3_2048",
-           ubench.timeit_chained(denoise, x0, iters=iters))
+           timeit_chained(denoise, x0, iters=iters), rt_err(rt_plain, x0))
+
+    # cycle-spinning denoise (4 spins), jit-fused pipeline
+    from pypwt_tpu import pipeline as pl_
+    key = jax.random.key(int.from_bytes(os.urandom(4), "little"))
+
+    def cyc(v):
+        return pl_.denoise2d_cycle_spinning(v, "db2", 3, 1.0, key,
+                                            n_spins=4)
+    record("denoise_cycle_spin4_db2_L3_2048",
+           timeit_chained(cyc, x0, iters=max(16, iters // 4)),
+           rt_err(rt_plain, x0))
 
     # batched 1D
-    b0 = ubench.make_inputs((2048, 4096))[0]
+    b0 = make_inputs((2048, 4096))[0] * SCALE
     rt1 = lambda v: dwt.waverec1(dwt.wavedec1(v, fb, 3), fb, 4096)
     record("dwt1d_batched2048_roundtrip_db2_L3_4096",
-           ubench.timeit_chained(rt1, b0, iters=max(16, iters // 4)))
+           timeit_chained(rt1, b0, iters=max(16, iters // 4)),
+           rt_err(rt1, b0))
+
+    # batched frame stack (per-frame throughput)
+    if not args.quick:
+        st0 = make_inputs((8, 1024, 1024))[0] * SCALE
+        rts = lambda v: dwt.waverec2(dwt.wavedec2(v, fb, 3), fb,
+                                     (8, 1024, 1024))
+        record("dwt2d_stack8_roundtrip_db2_L3_1024",
+               timeit_chained(rts, st0, iters=max(16, iters // 4)),
+               rt_err(rts, st0), frames=8)
 
     # long single 1D signal (reference sweeps 1D up to 1e7)
     if not args.quick:
         nl = 1 << 22
-        l0 = ubench.make_inputs((nl,))[0]
+        l0 = make_inputs((nl,))[0] * SCALE
         rtl = lambda v: dwt.waverec1(dwt.wavedec1(v, fb, 5), fb, nl)
         record("dwt1d_long_roundtrip_db2_L5_4Mi",
-               ubench.timeit_chained(rtl, l0, iters=16))
+               timeit_chained(rtl, l0, iters=16), rt_err(rtl, l0))
+
+    # non-separable TRUE-2D path: anisotropic db3(rows) x sym3(cols) bank
+    # is perfect-reconstruction but non-factorable into one isotropic 1D
+    # bank, so it cannot be routed back to the separable kernels
+    if not args.quick:
+        from pypwt_tpu.core import nonsep as ns
+        fr = get_filter_bank("db3")
+        fc = get_filter_bank("sym3")
+        dec = [np.outer(fr.dec_lo, fc.dec_lo),
+               np.outer(fr.dec_hi, fc.dec_lo),
+               np.outer(fr.dec_lo, fc.dec_hi),
+               np.outer(fr.dec_hi, fc.dec_hi)]
+        rec = [np.outer(fr.rec_lo, fc.rec_lo),
+               np.outer(fr.rec_hi, fc.rec_lo),
+               np.outer(fr.rec_lo, fc.rec_hi),
+               np.outer(fr.rec_hi, fc.rec_hi)]
+        f2d = ns.Filters2D(dec, rec, name="db3xsym3")
+        assert f2d.separable_bank() is None, "bank unexpectedly factored"
+        rtn = lambda v: ns.ns_waverec2(ns.ns_wavedec2(v, f2d, 3), f2d,
+                                       (n, n))
+        record("nonsep_true2d_db3xsym3_roundtrip_L3_2048",
+               timeit_chained(rtn, x0, iters=max(16, iters // 4)),
+               rt_err(rtn, x0))
 
     if args.out:
         with open(args.out, "a") as f:
@@ -107,11 +182,21 @@ def main():
                 row["when"] = stamp
                 f.write(json.dumps(row) + "\n")
 
-    print("\n| bench | us | frames/s |", file=sys.stderr)
-    print("|---|---|---|", file=sys.stderr)
+    print("\n| bench | us | frames/s | max_err |", file=sys.stderr)
+    print("|---|---|---|---|", file=sys.stderr)
     for r in results:
-        print(f"| {r['bench']} | {r['time_us']} | {r['throughput_fps']} |",
-              file=sys.stderr)
+        print(f"| {r['bench']} | {r['time_us']} | {r['throughput_fps']} "
+              f"| {r['max_err']} |", file=sys.stderr)
+
+    # band geometry audit: make VMEM-budget drift visible across rounds
+    from pypwt_tpu.ops import pallas_dwt as _pk
+    print("\nband choices (nr, nc, lpad, rpad, bufs, max_body) -> (IB, H):",
+          file=sys.stderr)
+    for k, v in sorted(_pk.BAND_CHOICES.items()):
+        print(f"  {k} -> {v}", file=sys.stderr)
+    if failed:
+        print(f"\nCORRECTNESS GATE FAILED: {failed}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
