@@ -34,9 +34,12 @@ from .shapes import div2
 # level-0 analysis at 2048^2 is ~104 us for db2 AND sym8, vs 103/274 us
 # on the VPU tap loops.
 _KERNEL_MODE = os.environ.get("PYPWT_KERNELS", "auto")
-# Measured roundtrips (2048^2, L3, chained): db2 VPU 237 vs MXU 229 (tie),
-# db4 318 vs 229, sym8 581 vs 231, coif3 583 vs 225.  MXU from db3 up;
-# haar/db2 keep the VPU tap loops (haar's 2-tap butterfly beats both).
+# Measured level-0 pairs at 2048^2 (chained): analysis is faster on the
+# VPU tap loops for short filters (db2 VPU-ana+MXU-syn 136 us vs pure
+# VPU 143 / pure MXU 148), while synthesis is faster on the banded MXU
+# dots from hlen 4 up; wide filters (hlen >= 6) take MXU on both passes
+# (sym8 VPU would be 2.65x db2 for equal traffic).  Haar keeps the VPU
+# butterfly everywhere.
 _MXU_MIN_HLEN = 6
 
 
@@ -58,7 +61,12 @@ def _pallas_enabled():
     return jax.default_backend() == "tpu"
 
 
-def _mxu_wanted(fb):
+def _mxu_wanted(fb, out_elems=0):
+    """MXU routing: wide filters only.  An hlen-4 MXU synthesis wins in
+    an isolated level-0 pair (db2 136 vs 143 us at 2048^2) but LOSES ~7us
+    inside the full 3-level roundtrip (203 vs 196 us measured both with a
+    size gate and without) — scheduling interactions eat the gain, so the
+    routing stays uniform per filter width."""
     if _KERNEL_MODE == "mxu":
         return True
     return _KERNEL_MODE == "auto" and fb.hlen >= _MXU_MIN_HLEN

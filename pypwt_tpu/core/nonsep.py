@@ -169,6 +169,13 @@ def nsdwt2d(x, f2d: Filters2D):
     on TPU); long filters fall back to lax.conv_general_dilated."""
     hlen = f2d.hlen
     s = hlen // 2
+    from .dwt import _pallas_enabled
+    if (_pallas_enabled() and hlen % 2 == 0
+            and x.shape[-2] % 2 == 0 and x.shape[-1] % 2 == 0):
+        from ..ops import nonsep_pallas
+        r = nonsep_pallas.nsdwt2d_fused(x, f2d)
+        if r is not None:
+            return r
     xe = _odd_extend_2d(x)
     xp = _pad2_periodic(xe, hlen - 1 - s, max(s - 1, 0))
     if hlen > _SLICE_TAP_LIMIT:
@@ -196,6 +203,12 @@ def insdwt2d(a, h, v, d, f2d: Filters2D, out_shape):
     """One non-separable 2D synthesis level (4-phase polyphase inverse,
     nonseparable.cu:176-225)."""
     nr, nc = out_shape[-2], out_shape[-1]
+    from .dwt import _pallas_enabled
+    if _pallas_enabled() and f2d.hlen % 2 == 0:
+        from ..ops import nonsep_pallas
+        r = nonsep_pallas.insdwt2d_fused(a, h, v, d, f2d, out_shape)
+        if r is not None:
+            return r
     L_r, L_c = a.shape[-2], a.shape[-1]
     hlen = f2d.hlen
     hlen2 = hlen // 2

@@ -1,0 +1,281 @@
+"""Fused TPU kernels for true (non-factorable) non-separable transforms.
+
+The reference computes each non-separable level with a single dense 2D
+convolution kernel producing all four subbands
+(pdwt/src/nonseparable.cu:114-170) and a 4-phase dense inverse
+(:176-225).  A dense 2D stencil maps poorly onto the TPU (Mosaic lowers
+neither strided lane slices nor tiny-channel convs), so here each 2D
+filter is factored into a sum of separable rank-1 terms by SVD
+(F_b = sum_k  u_k v_k^T, float64, terms kept above 1e-12 * sigma_0) and
+each term runs through the same banded row/column machinery as the
+separable kernels.  Anisotropic banks — outer products of two different
+1D banks, e.g. db3(rows) x sym3(cols) — are exactly rank 1, so they cost
+about 2x the shared-rowpass separable kernel; a generic bank of 2D rank
+r costs ~r x.  Above rank 4 the kernel falls back to the XLA path
+(core/nonsep.py) to bound compile time and VMEM.
+
+Correctness is differential: tests/test_nonsep.py pins these kernels
+(interpret mode) to the slice-based XLA formulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import conv
+from . import pallas_dwt as pk
+
+_MAX_TERMS = 4
+
+
+def svd_terms(F, max_terms=_MAX_TERMS):
+    """[(u, v)] with F ~= sum u_k v_k^T (float64); None if rank too
+    high.  u filters the row axis, v the column axis."""
+    F = np.asarray(F, np.float64)
+    u, s, vt = np.linalg.svd(F)
+    keep = [k for k in range(len(s)) if s[k] > 1e-12 * max(s[0], 1e-300)]
+    if len(keep) > max_terms:
+        return None
+    return [(tuple((u[:, k] * np.sqrt(s[k])).tolist()),
+             tuple((vt[k] * np.sqrt(s[k])).tolist())) for k in keep]
+
+
+# ---------------------------------------------------------------------------
+# Single-filter primitives (the separable kernels always run lo+hi pairs;
+# rank-1 terms need one filter per axis)
+# ---------------------------------------------------------------------------
+
+def _analysis_one(t, f, L):
+    """Decimating filtering with ONE filter along axis 0 of a padded
+    array (same index algebra as pk._analysis_sub)."""
+    hlen = len(f)
+    even, odd = pk._split_parity(t)
+    acc = None
+    for j in range(hlen):
+        src = even if j % 2 == 0 else odd
+        seg = src[j // 2: j // 2 + L, :]
+        g = f[hlen - 1 - j]
+        if g == 0.0:
+            continue
+        acc = seg * g if acc is None else acc + seg * g
+    if acc is None:
+        acc = jnp.zeros((L, t.shape[1]), t.dtype)
+    return acc
+
+
+def _analysis_one_cols(t, f, lpad, rpad):
+    """Decimating single-filter pass along the lane axis via transpose."""
+    tt = t.T
+    n = tt.shape[0]
+    parts = []
+    if lpad:
+        parts.append(tt[n - lpad:, :])
+    parts.append(tt)
+    if rpad:
+        parts.append(tt[:rpad, :])
+    tp = jnp.concatenate(parts, axis=0) if len(parts) > 1 else tt
+    return _analysis_one(tp, f, n // 2).T
+
+
+def _upsample_one(xp, f, Lout, lpad):
+    """Single-plane polyphase upsample-convolve along axis 0 (the lo-only
+    half of pk._synthesis_sub)."""
+    hlen = len(f)
+    hlen2 = hlen // 2
+    sigma = 1 if hlen2 % 2 == 0 else 0
+    c = hlen2 // 2
+    phases = []
+    for p in (0, 1):
+        pp = (p + sigma) & 1
+        delta = (p + sigma) >> 1
+        off = 1 - pp
+        base = lpad + delta - c
+        acc = None
+        for j in range(hlen2):
+            g = f[hlen - 1 - 2 * j - off]
+            if g == 0.0:
+                continue
+            seg = xp[base + j: base + j + Lout, :] * g
+            acc = seg if acc is None else acc + seg
+        if acc is None:
+            acc = jnp.zeros((Lout, xp.shape[1]), xp.dtype)
+        phases.append(acc)
+    return pk._merge_parity(phases[0], phases[1])
+
+
+def _upsample_one_cols(x, f, lpad, rpad, n_out):
+    xt = x.T
+    n = xt.shape[0]
+    parts = []
+    if lpad:
+        parts.append(xt[n - lpad:, :])
+    parts.append(xt)
+    if rpad:
+        parts.append(xt[:rpad, :])
+    xp = jnp.concatenate(parts, axis=0) if len(parts) > 1 else xt
+    return _upsample_one(xp, f, n_out // 2, lpad).T
+
+
+# ---------------------------------------------------------------------------
+# Fused analysis level
+# ---------------------------------------------------------------------------
+
+def _ns_dwt_kernel(terms, hlen, lp, rp, ib, top_ref, body_ref, bot_ref,
+                   a_ref, h_ref, v_ref, d_ref):
+    rows = pk._gather_rows(top_ref, body_ref, bot_ref, lp, rp)
+    lpc, rpc = conv.analysis_pads(hlen)
+    outs = []
+    for b in range(4):
+        acc = None
+        for (u, v) in terms[b]:
+            r = _analysis_one(rows, u, ib // 2)
+            t = _analysis_one_cols(r, v, lpc, rpc)
+            acc = t if acc is None else acc + t
+        outs.append(acc)
+    a_ref[:, :], h_ref[:, :], v_ref[:, :], d_ref[:, :] = outs
+
+
+@functools.lru_cache(maxsize=64)
+def _build_ns_dwt2d(nr, nc, hlen, terms, interpret):
+    if hlen % 2 or nr % 2 or nc % 2:
+        return None
+    lp, rp = conv.analysis_pads(hlen)
+    n_terms = sum(len(t) for t in terms)
+    bands = pk._pick_bands(nr, nc, lp, rp, n_bufs=5 + n_terms // 2)
+    if bands is None:
+        return None
+    ib, hh = bands
+    top, body, bot = pk._halo_specs(ib, hh, nr, nc)
+    out_spec = pl.BlockSpec((ib // 2, nc // 2), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr // 2, nc // 2), jnp.float32)
+    kern = functools.partial(_ns_dwt_kernel, terms, hlen, lp, rp, ib)
+    call = pl.pallas_call(
+        kern, grid=(nr // ib,), in_specs=[top, body, bot],
+        out_specs=[out_spec] * 4, out_shape=[out_sds] * 4,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=pk._VMEM_LIMIT),
+        interpret=interpret)
+    return lambda x: call(x, x, x)
+
+
+def _dec_terms(f2d):
+    if getattr(f2d, "_dec_terms_cache", "?") == "?":
+        terms = []
+        for F in f2d.dec:
+            t = svd_terms(F)
+            if t is None:
+                terms = None
+                break
+            terms.append(tuple(t))
+        f2d._dec_terms_cache = tuple(terms) if terms is not None else None
+    return f2d._dec_terms_cache
+
+
+def _rec_terms(f2d):
+    if getattr(f2d, "_rec_terms_cache", "?") == "?":
+        terms = []
+        for F in f2d.rec:
+            t = svd_terms(F)
+            if t is None:
+                terms = None
+                break
+            terms.append(tuple(t))
+        f2d._rec_terms_cache = tuple(terms) if terms is not None else None
+    return f2d._rec_terms_cache
+
+
+def nsdwt2d_fused(x, f2d):
+    """One fused non-separable analysis level; None if uncovered."""
+    if x.ndim not in (2, 3) or x.dtype != jnp.float32:
+        return None
+    terms = _dec_terms(f2d)
+    if terms is None:
+        return None
+    nr, nc = x.shape[-2], x.shape[-1]
+    f = _build_ns_dwt2d(nr, nc, f2d.hlen, terms, pk._interpret())
+    if f is None:
+        return None
+    if x.ndim == 3:
+        return tuple(jax.vmap(f)(x))
+    return tuple(f(x))
+
+
+# ---------------------------------------------------------------------------
+# Fused synthesis level
+# ---------------------------------------------------------------------------
+
+def _ns_idwt_kernel(terms, hlen, lp, rp, tcb, nc_out, refs):
+    blocks = refs[:12]
+    out_ref = refs[12]
+    planes = [pk._gather_rows(*blocks[3 * b: 3 * b + 3], lp, rp)
+              for b in range(4)]
+    w = nc_out // 2
+    lpc, rpc = conv.synthesis_pads(hlen, w, nc_out)
+    acc = None
+    for b in range(4):
+        for (u, v) in terms[b]:
+            t = _upsample_one(planes[b], u, tcb, lp)
+            t = _upsample_one_cols(t, v, lpc, rpc, nc_out)
+            acc = t if acc is None else acc + t
+    out_ref[:, :] = acc
+
+
+@functools.lru_cache(maxsize=64)
+def _build_ns_idwt2d(nr_out, nc_out, hlen, terms, interpret):
+    if hlen % 2 or nr_out % 2 or nc_out % 2:
+        return None
+    lrows, w = nr_out // 2, nc_out // 2
+    lp, rp = conv.synthesis_pads(hlen, lrows, nr_out)
+    n_terms = sum(len(t) for t in terms)
+    bands = pk._pick_bands(lrows, w, lp, rp, n_bufs=10 + n_terms,
+                           max_body=128)
+    if bands is None:
+        return None
+    tcb, hh = bands
+    top, body, bot = pk._halo_specs(tcb, hh, lrows, w)
+    out_spec = pl.BlockSpec((2 * tcb, nc_out), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr_out, nc_out), jnp.float32)
+
+    def kern(*refs):
+        _ns_idwt_kernel(terms, hlen, lp, rp, tcb, nc_out, refs)
+
+    call = pl.pallas_call(
+        kern, grid=(lrows // tcb,), in_specs=[top, body, bot] * 4,
+        out_specs=out_spec, out_shape=out_sds,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=pk._VMEM_LIMIT),
+        interpret=interpret)
+
+    def fused(a, h, v, d):
+        return call(a, a, a, h, h, h, v, v, v, d, d, d)
+
+    return fused
+
+
+def insdwt2d_fused(a, h, v, d, f2d, out_shape):
+    """One fused non-separable synthesis level; None if uncovered."""
+    if a.ndim not in (2, 3) or a.dtype != jnp.float32:
+        return None
+    nr, nc = out_shape[-2], out_shape[-1]
+    if (nr, nc) != (2 * a.shape[-2], 2 * a.shape[-1]):
+        return None
+    if not (a.shape == h.shape == v.shape == d.shape):
+        return None
+    terms = _rec_terms(f2d)
+    if terms is None:
+        return None
+    f = _build_ns_idwt2d(nr, nc, f2d.hlen, terms, pk._interpret())
+    if f is None:
+        return None
+    if a.ndim == 3:
+        return jax.vmap(f)(a, h, v, d)
+    return f(a, h, v, d)

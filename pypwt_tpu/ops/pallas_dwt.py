@@ -71,7 +71,8 @@ _VMEM_BUDGET = 30 * 1024 * 1024
 BAND_CHOICES: dict = {}
 
 
-def _pick_bands(n_rows, n_cols, lpad, rpad, n_bufs, max_body=512):
+def _pick_bands(n_rows, n_cols, lpad, rpad, n_bufs, max_body=512,
+                budget=None):
     """Choose (body_rows IB, halo_block H) or None if not tileable.
 
     IB divides n_rows; H divides both n_rows and IB and covers the halo.
@@ -86,11 +87,18 @@ def _pick_bands(n_rows, n_cols, lpad, rpad, n_bufs, max_body=512):
             break
     if hh is None:
         return None
-    for ib in (512, 256, 128, 64, 32, 16, 8):
+    if budget is None:
+        budget = _VMEM_BUDGET
+    # ib=1024 only as a banded (grid >= 2) config: whole-image bands
+    # measured slower (2048^2 db2 analysis: ib=1024 pair 143 us,
+    # ib=2048 148.5, ib=512 155)
+    cands = [1024] if n_rows >= 2048 else []
+    cands += [512, 256, 128, 64, 32, 16, 8]
+    for ib in cands:
         if ib > max_body or n_rows % ib or ib % hh:
             continue
         ws = (lpad + ib + rpad + 2 * hh) * n_cols * 4 * n_bufs
-        if ws <= _VMEM_BUDGET:
+        if ws <= budget:
             BAND_CHOICES[(n_rows, n_cols, lpad, rpad, n_bufs,
                           max_body)] = (ib, hh)
             return ib, hh
@@ -249,7 +257,10 @@ def _build_dwt2d(nr, nc, flo, fhi, interpret):
     if hlen % 2:
         return None  # padded band parity math assumes even filter length
     lp, rp = conv.analysis_pads(hlen)
-    bands = _pick_bands(nr, nc, lp, rp, n_bufs=5)
+    # analysis holds few planes live; a raised budget lets 2048-row
+    # images run ib=1024 (measured 143 vs 155 us level-0 pair)
+    bands = _pick_bands(nr, nc, lp, rp, n_bufs=5, max_body=1024,
+                        budget=52 * 1024 * 1024)
     if bands is None:
         return None
     ib, hh = bands

@@ -131,3 +131,90 @@ def test_true_2d_roundtrip_direct_calls():
     a, h, v, d = ns.ns_swt2d_level(x, f2d, 2)
     y = ns.ins_swt2d_level(a, h, v, d, f2d, 2)
     assert float(jnp.abs(y - x).max()) < 5e-6
+
+
+def test_nonsep_pallas_matches_xla_slices():
+    """The fused SVD separable-sum kernels (ops/nonsep_pallas.py,
+    interpret mode) must match the slice-based XLA formulation for an
+    anisotropic (rank-1, non-factorable) bank."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pypwt_tpu.ops import nonsep_pallas as nsp
+    from pypwt_tpu.core import nonsep as ns
+    from pypwt_tpu.filters import get_filter_bank
+
+    fr = get_filter_bank("db3")
+    fc = get_filter_bank("coif1")
+    dec = [np.outer(fr.dec_lo, fc.dec_lo), np.outer(fr.dec_hi, fc.dec_lo),
+           np.outer(fr.dec_lo, fc.dec_hi), np.outer(fr.dec_hi, fc.dec_hi)]
+    rec = [np.outer(fr.rec_lo, fc.rec_lo), np.outer(fr.rec_hi, fc.rec_lo),
+           np.outer(fr.rec_lo, fc.rec_hi), np.outer(fr.rec_hi, fc.rec_hi)]
+    f2d = ns.Filters2D(dec, rec, name="db3xcoif1")
+    assert f2d.separable_bank() is None
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((64, 128), dtype=np.float32))
+    got = nsp.nsdwt2d_fused(x, f2d)
+    assert got is not None
+    want = ns.nsdwt2d.__wrapped__(x, f2d) if hasattr(ns.nsdwt2d,
+                                                     "__wrapped__") else None
+    # compute the XLA reference by bypassing the pallas dispatch
+    from pypwt_tpu.core import dwt as dwt_mod
+    dwt_mod.set_kernels("jnp")
+    try:
+        want = ns.nsdwt2d(x, f2d)
+    finally:
+        dwt_mod.set_kernels("auto")
+    for g, w in zip(got, want):
+        assert g.shape == w.shape
+        assert float(jnp.abs(g - w.astype(jnp.float32)).max()) < 1e-5
+
+    y = nsp.insdwt2d_fused(*got, f2d, (64, 128))
+    assert y is not None
+    dwt_mod.set_kernels("jnp")
+    try:
+        yw = ns.insdwt2d(*[g.astype(jnp.float64) for g in got], f2d,
+                         (64, 128))
+    finally:
+        dwt_mod.set_kernels("auto")
+    assert float(jnp.abs(y - yw.astype(jnp.float32)).max()) < 1e-5
+    assert float(jnp.abs(y - x).max()) < 1e-4
+
+
+def test_nonsep_pallas_higher_rank_quincunx_like():
+    """A genuinely 2D (rank-2) bank still runs the fused path and
+    reconstructs: build rank-2 PR filters by mixing two separable PR
+    banks (sum of two outer products stays perfect-reconstruction when
+    the cross terms cancel -- here we simply verify the forward matches
+    the XLA path; PR is not required of arbitrary user banks)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pypwt_tpu.ops import nonsep_pallas as nsp
+    from pypwt_tpu.core import nonsep as ns
+    from pypwt_tpu.core import dwt as dwt_mod
+    from pypwt_tpu.filters import get_filter_bank
+
+    f1 = get_filter_bank("db2")
+    lo, hi = np.asarray(f1.dec_lo), np.asarray(f1.dec_hi)
+    # rank-2 2D filters: mixes of two orthogonal outer products
+    dec = [0.8 * np.outer(lo, lo) + 0.2 * np.outer(hi, hi),
+           0.8 * np.outer(hi, lo) + 0.2 * np.outer(lo, hi),
+           0.8 * np.outer(lo, hi) + 0.2 * np.outer(hi, lo),
+           0.8 * np.outer(hi, hi) + 0.2 * np.outer(lo, lo)]
+    rec = dec  # synthesis bank irrelevant for this forward check
+    f2d = ns.Filters2D(dec, rec, name="rank2mix")
+    terms = nsp._dec_terms(f2d)
+    assert terms is not None
+    assert max(len(t) for t in terms) == 2
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.random((64, 64), dtype=np.float32))
+    got = nsp.nsdwt2d_fused(x, f2d)
+    assert got is not None
+    dwt_mod.set_kernels("jnp")
+    try:
+        want = ns.nsdwt2d(x, f2d)
+    finally:
+        dwt_mod.set_kernels("auto")
+    for g, w in zip(got, want):
+        assert float(jnp.abs(g - w.astype(jnp.float32)).max()) < 1e-5

@@ -152,13 +152,13 @@ def main():
         record("dwt1d_long_roundtrip_db2_L5_4Mi",
                timeit_chained(rtl, l0, iters=16), rt_err(rtl, l0))
 
-    # non-separable TRUE-2D path: anisotropic db3(rows) x sym3(cols) bank
+    # non-separable TRUE-2D path: anisotropic db3(rows) x coif1(cols) bank
     # is perfect-reconstruction but non-factorable into one isotropic 1D
     # bank, so it cannot be routed back to the separable kernels
     if not args.quick:
         from pypwt_tpu.core import nonsep as ns
         fr = get_filter_bank("db3")
-        fc = get_filter_bank("sym3")
+        fc = get_filter_bank("coif1")
         dec = [np.outer(fr.dec_lo, fc.dec_lo),
                np.outer(fr.dec_hi, fc.dec_lo),
                np.outer(fr.dec_lo, fc.dec_hi),
@@ -167,11 +167,11 @@ def main():
                np.outer(fr.rec_hi, fc.rec_lo),
                np.outer(fr.rec_lo, fc.rec_hi),
                np.outer(fr.rec_hi, fc.rec_hi)]
-        f2d = ns.Filters2D(dec, rec, name="db3xsym3")
+        f2d = ns.Filters2D(dec, rec, name="db3xcoif1")
         assert f2d.separable_bank() is None, "bank unexpectedly factored"
         rtn = lambda v: ns.ns_waverec2(ns.ns_wavedec2(v, f2d, 3), f2d,
                                        (n, n))
-        record("nonsep_true2d_db3xsym3_roundtrip_L3_2048",
+        record("nonsep_true2d_db3xcoif1_roundtrip_L3_2048",
                timeit_chained(rtn, x0, iters=max(16, iters // 4)),
                rt_err(rtn, x0))
 
