@@ -820,6 +820,12 @@ def _build_dwt1d_padded(nr, c, lp, rp, flo, fhi, interpret):
     if bands is None:
         return None
     ib, _ = bands
+    # Transposed planes have ib lanes; below 128 Mosaic pads every
+    # per-tap temporary to full 128-lane tiles.  Decline when the padded
+    # per-tap working set gets large (db8 at 32 folded rows measured
+    # 142 MB > the 128 MB chip); the jnp folded path serves instead.
+    if ib < 128 and hlen * (c + lp + rp) * 128 * 4 > 48 * 1024 * 1024:
+        return None
     body = pl.BlockSpec((ib, nc_pad), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((ib, c // 2), lambda i: (i, 0),
@@ -865,6 +871,12 @@ def _build_idwt1d_padded(nr, c, lp, rp, flo, fhi, interpret):
     if bands is None:
         return None
     ib, _ = bands
+    # Transposed planes have ib lanes; below 128 Mosaic pads every
+    # per-tap temporary to full 128-lane tiles.  Decline when the padded
+    # per-tap working set gets large (db8 at 32 folded rows measured
+    # 142 MB > the 128 MB chip); the jnp folded path serves instead.
+    if ib < 128 and hlen * (c + lp + rp) * 128 * 4 > 48 * 1024 * 1024:
+        return None
     in_spec = pl.BlockSpec((ib, nc_pad), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((ib, 2 * c), lambda i: (i, 0),
@@ -913,6 +925,12 @@ def _build_swt1d_padded(nr, c, level, flo, fhi, interpret):
     if bands is None:
         return None
     ib, _ = bands
+    # Transposed planes have ib lanes; below 128 Mosaic pads every
+    # per-tap temporary to full 128-lane tiles.  Decline when the padded
+    # per-tap working set gets large (db8 at 32 folded rows measured
+    # 142 MB > the 128 MB chip); the jnp folded path serves instead.
+    if ib < 128 and hlen * (c + lp + rp) * 128 * 4 > 48 * 1024 * 1024:
+        return None
     body = pl.BlockSpec((ib, c + lp + rp), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((ib, c), lambda i: (i, 0),
@@ -961,6 +979,12 @@ def _build_iswt1d_padded(nr, c, level, flo, fhi, interpret):
     if bands is None:
         return None
     ib, _ = bands
+    # Transposed planes have ib lanes; below 128 Mosaic pads every
+    # per-tap temporary to full 128-lane tiles.  Decline when the padded
+    # per-tap working set gets large (db8 at 32 folded rows measured
+    # 142 MB > the 128 MB chip); the jnp folded path serves instead.
+    if ib < 128 and hlen * (c + lp + rp) * 128 * 4 > 48 * 1024 * 1024:
+        return None
     spec = pl.BlockSpec((ib, c + lp + rp), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((ib, c), lambda i: (i, 0),

@@ -77,9 +77,10 @@ def main():
         print(json.dumps(row), flush=True)
 
     def rt_err(rt, x0):
-        """On-device roundtrip max-err (scalar readback only)."""
-        y = jax.jit(rt)(x0)
-        return float(jnp.abs(y - x0).max())
+        """On-device roundtrip max-err, computed INSIDE one jit (eager
+        ops through the compile relay cost ~minutes each); only the
+        scalar is read back."""
+        return float(jax.jit(lambda v: jnp.abs(rt(v) - v).max())(x0))
 
     sizes = [512, 2048] if args.quick else [128, 256, 512, 1024, 2048]
     fb = get_filter_bank("db2")

@@ -82,9 +82,10 @@ def main():
             pyr = thresh.soft_threshold(pyr, 0.0)
             return dwt.waverec2(pyr, fb, shape)
 
-        # correctness gate (beta=0 keeps the step invertible)
-        y = jax.jit(step)(x)
-        err = float(jnp.abs(y - x).max())
+        # correctness gate (beta=0 keeps the step invertible); the error
+        # reduction runs inside the jit — eager ops cost minutes on the
+        # axon compile relay
+        err = float(jax.jit(lambda v: jnp.abs(step(v) - v).max())(x))
         secs = timeit_chained(step, x, iters=args.iters)
         fps_chip = frames / secs / d
         if base_fps_per_chip is None:

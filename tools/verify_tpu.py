@@ -79,6 +79,13 @@ def main():
             failed.append((wname, mode, err))
         print(json.dumps(row), flush=True)
 
+    # NOTE: every error is computed INSIDE one jit returning a scalar —
+    # eager ops through this rig's compile relay cost ~minutes each
+    # (measured 533 s for an eager abs/sub/max chain at 512^2)
+    def rt_err(rt, x0):
+        return float(jax.jit(
+            lambda v: jnp.abs(rt(v) - v).max())(x0))
+
     t_start = time.time()
     for wname in names:
         fb = get_filter_bank(wname)
@@ -86,41 +93,39 @@ def main():
                  shapes.clamp_levels(args.levels, (n, n), fb.hlen, 2))
         gate = 3e-4 * (1 << lv) * SCALE
 
-        rt2 = jax.jit(lambda v, fb=fb, lv=lv: dwt.waverec2(
-            dwt.wavedec2(v, fb, lv), fb, (n, n)))
         record(wname, f"dwt2d_L{lv}",
-               float(jnp.abs(rt2(x2) - x2).max()), gate)
+               rt_err(lambda v, fb=fb, lv=lv: dwt.waverec2(
+                   dwt.wavedec2(v, fb, lv), fb, (n, n)), x2), gate)
 
         slv = min(2, lv)
         sgate = 3e-4 * (1 << slv) * SCALE
-        rts = jax.jit(lambda v, fb=fb, slv=slv: swt.iswt2d(
-            swt.swt2d(v, fb, slv), fb))
         record(wname, f"swt2d_L{slv}",
-               float(jnp.abs(rts(x2) - x2).max()), sgate)
+               rt_err(lambda v, fb=fb, slv=slv: swt.iswt2d(
+                   swt.swt2d(v, fb, slv), fb), x2), sgate)
 
-        rt1 = jax.jit(lambda v, fb=fb: dwt.waverec1(
-            dwt.wavedec1(v, fb, 2), fb, 1024))
         record(wname, "dwt1d_batched_L2",
-               float(jnp.abs(rt1(xb) - xb).max()), 3e-4 * 4 * SCALE)
+               rt_err(lambda v, fb=fb: dwt.waverec1(
+                   dwt.wavedec1(v, fb, 2), fb, 1024), xb),
+               3e-4 * 4 * SCALE)
 
-        rtl = jax.jit(lambda v, fb=fb: dwt.waverec1(
-            dwt.wavedec1(v, fb, 3), fb, 1 << 18))
         record(wname, "dwt1d_long_L3",
-               float(jnp.abs(rtl(xl) - xl).max()), 3e-4 * 8 * SCALE)
+               rt_err(lambda v, fb=fb: dwt.waverec1(
+                   dwt.wavedec1(v, fb, 3), fb, 1 << 18), xl),
+               3e-4 * 8 * SCALE)
 
     # differential: dispatch-selected kernels vs the pure-jnp oracle path
     for wname in ("db2", "sym8", "bior4.4"):
         fb = get_filter_bank(wname)
-        fwd = jax.jit(lambda v, fb=fb: dwt.wavedec2(v, fb, 3))
-        got = fwd(x2)
+        got = jax.jit(lambda v, fb=fb: dwt.wavedec2(v, fb, 3))(x2)
         dwt.set_kernels("jnp")
         try:
             want = jax.jit(lambda v, fb=fb: dwt.wavedec2(v, fb, 3))(x2)
         finally:
             dwt.set_kernels("auto")
-        diff = 0.0
-        for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
-            diff = max(diff, float(jnp.abs(g - w).max()))
+        diff = float(jax.jit(lambda a, b: jnp.asarray(
+            [jnp.abs(x - y).max() for x, y in
+             zip(jax.tree.leaves(a), jax.tree.leaves(b))]).max())(
+                 got, want))
         record(wname, "kernel_vs_jnp_dwt2d_L3", diff, 3e-3 * SCALE)
 
     elapsed = time.time() - t_start
