@@ -286,6 +286,12 @@ def ns_swt2d_level(x, f2d: Filters2D, level: int):
     s = hlen // 2
     factor = 1 << (level - 1)
     lpad = (hlen - 1 - s) * factor
+    from .dwt import _pallas_enabled
+    if _pallas_enabled():
+        from ..ops import nonsep_pallas
+        r = nonsep_pallas.ns_swt2d_fused(x, f2d, level)
+        if r is not None:
+            return r
     xp = _pad2_periodic(x, lpad, s * factor)
     if hlen > _SLICE_TAP_LIMIT:
         rhs = np.stack([f[::-1, ::-1] for f in f2d.dec])[:, None]
@@ -315,6 +321,12 @@ def ins_swt2d_level(a, h, v, d, f2d: Filters2D, level: int):
     s = hlen // 2 - 1 if hlen % 2 == 0 else hlen // 2
     factor = 1 << (level - 1)
     lpad = (hlen - 1 - s) * factor
+    from .dwt import _pallas_enabled
+    if _pallas_enabled() and hlen % 2 == 0:
+        from ..ops import nonsep_pallas
+        r = nonsep_pallas.ins_swt2d_fused(a, h, v, d, f2d, level)
+        if r is not None:
+            return r
     if hlen > _SLICE_TAP_LIMIT:
         coeffs = jnp.stack([a, h, v, d], axis=-3)
         xp = _pad2_periodic(coeffs, lpad, max(s, 0) * factor)

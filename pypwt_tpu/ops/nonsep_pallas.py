@@ -279,3 +279,134 @@ def insdwt2d_fused(a, h, v, d, f2d, out_shape):
     if a.ndim == 3:
         return jax.vmap(f)(a, h, v, d)
     return f(a, h, v, d)
+
+
+# ---------------------------------------------------------------------------
+# Fused stationary (a-trous) levels — non-separable, separable-sum form
+# (reference: nonseparable.cu:304-401)
+# ---------------------------------------------------------------------------
+
+def _swt_one(t, f, s, factor, lpad, L):
+    """Single-filter a-trous pass along axis 0 of a padded array
+    (tap order of pk._swt_sub: f[k] applied at offset (s-k)*factor)."""
+    hlen = len(f)
+    acc = None
+    for k in range(hlen):
+        if f[k] == 0.0:
+            continue
+        ofs = lpad + (s - k) * factor
+        seg = t[ofs: ofs + L, :] * f[k]
+        acc = seg if acc is None else acc + seg
+    if acc is None:
+        acc = jnp.zeros((L, t.shape[1]), t.dtype)
+    return acc
+
+
+def _swt_one_cols(t, f, s, factor, lpad, rpad):
+    tt = t.T
+    n = tt.shape[0]
+    parts = []
+    if lpad:
+        parts.append(tt[n - lpad:, :])
+    parts.append(tt)
+    if rpad:
+        parts.append(tt[:rpad, :])
+    tp = jnp.concatenate(parts, axis=0) if len(parts) > 1 else tt
+    return _swt_one(tp, f, s, factor, lpad, n).T
+
+
+def _ns_swt_kernel(terms, s, factor, lp, rp, ib, nc, scale,
+                   refs):
+    """Analysis: refs = one halo triple + 4 outputs.  Synthesis reuses
+    the same core with 4 input triples, 1 output and scale=0.25."""
+    n_in = len(refs) - (4 if scale == 1.0 else 1)
+    planes = [pk._gather_rows(*refs[i: i + 3], lp, rp)
+              for i in range(0, n_in, 3)]
+    outs = refs[n_in:]
+    if scale == 1.0:  # analysis: 1 input plane -> 4 subbands
+        for b in range(4):
+            acc = None
+            for (u, v) in terms[b]:
+                r = _swt_one(planes[0], u, s, factor, lp, ib)
+                r = _swt_one_cols(r, v, s, factor, lp, rp)
+                acc = r if acc is None else acc + r
+            outs[b][:, :] = acc
+    else:  # synthesis: 4 planes -> 1 reconstruction, scaled
+        acc = None
+        for b in range(4):
+            for (u, v) in terms[b]:
+                r = _swt_one(planes[b], u, s, factor, lp, ib)
+                r = _swt_one_cols(r, v, s, factor, lp, rp)
+                acc = r if acc is None else acc + r
+        outs[0][:, :] = acc * scale
+
+
+@functools.lru_cache(maxsize=64)
+def _build_ns_swt2d(nr, nc, hlen, terms, level, inverse, interpret):
+    lp, rp, s, factor = pk._swt_pads(hlen, level, inverse)
+    if max(lp, rp) > min(nr, nc):
+        return None
+    n_terms = sum(len(t) for t in terms)
+    n_planes = 4 if inverse else 1
+    bands = pk._pick_bands_swt(nr, nc, lp, rp,
+                               n_bufs=2 + 2 * n_planes + n_terms)
+    if bands is None:
+        return None
+    ib, hh = bands
+    trip = pk._halo_specs(ib, hh, nr, nc)
+    out_spec = pl.BlockSpec((ib, nc), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr, nc), jnp.float32)
+    scale = 0.25 if inverse else 1.0
+
+    def kern(*refs):
+        _ns_swt_kernel(terms, s, factor, lp, rp, ib, nc, scale, refs)
+
+    call = pl.pallas_call(
+        kern, grid=(nr // ib,),
+        in_specs=list(trip) * n_planes,
+        out_specs=[out_spec] * (1 if inverse else 4),
+        out_shape=[out_sds] * (1 if inverse else 4),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=pk._VMEM_LIMIT),
+        interpret=interpret)
+    if inverse:
+        return lambda a, h, v, d: call(a, a, a, h, h, h, v, v, v,
+                                       d, d, d)[0]
+    return lambda x: call(x, x, x)
+
+
+def ns_swt2d_fused(x, f2d, level):
+    """One fused non-separable stationary analysis level; None if
+    uncovered."""
+    if x.ndim not in (2, 3) or x.dtype != jnp.float32:
+        return None
+    terms = _dec_terms(f2d)
+    if terms is None:
+        return None
+    f = _build_ns_swt2d(x.shape[-2], x.shape[-1], f2d.hlen, terms,
+                        level, False, pk._interpret())
+    if f is None:
+        return None
+    if x.ndim == 3:
+        return tuple(jax.vmap(f)(x))
+    return tuple(f(x))
+
+
+def ins_swt2d_fused(a, h, v, d, f2d, level):
+    """One fused non-separable stationary synthesis level (x 1/4); None
+    if uncovered."""
+    if a.ndim not in (2, 3) or a.dtype != jnp.float32:
+        return None
+    if not (a.shape == h.shape == v.shape == d.shape):
+        return None
+    terms = _rec_terms(f2d)
+    if terms is None:
+        return None
+    f = _build_ns_swt2d(a.shape[-2], a.shape[-1], f2d.hlen, terms,
+                        level, True, pk._interpret())
+    if f is None:
+        return None
+    if a.ndim == 3:
+        return jax.vmap(f)(a, h, v, d)
+    return f(a, h, v, d)
