@@ -61,7 +61,7 @@ def _pallas_enabled():
     return jax.default_backend() == "tpu"
 
 
-def _mxu_wanted(fb, out_elems=0):
+def _mxu_wanted(fb):
     """MXU routing: wide filters only.  An hlen-4 MXU synthesis wins in
     an isolated level-0 pair (db2 136 vs 143 us at 2048^2) but LOSES ~7us
     inside the full 3-level roundtrip (203 vs 196 us measured both with a

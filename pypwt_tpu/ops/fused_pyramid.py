@@ -109,7 +109,6 @@ def _wavedec2_kernel(flo, fhi, levels, ib, margins, nc, refs):
     cur = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
     for l in range(levels):
-        w = nc >> l
         own = ib >> (l + 1)
         mo = margins[l + 1]
         n_out = own + 2 * mo
@@ -232,7 +231,7 @@ def _waverec2_kernel(flo, fhi, levels, ib, margins, nc, refs):
         w = nc >> l
         own = ib >> l       # coefficient rows this band owns at level l
         n_l = margins[l]    # margin of cur (and of h/v/d fetch)
-        n_prev = _ceil_even(margins[l - 1])
+        n_prev = margins[l - 1]  # even by _syn_margins construction
         trip_base = 3 + 9 * step
         hr = gather(refs[trip_base: trip_base + 3], n_l)
         vr = gather(refs[trip_base + 3: trip_base + 6], n_l)

@@ -109,21 +109,6 @@ def _syn_blocks(hlen):
     return 64 - (h2 - 1 + sigma)
 
 
-def _ana_mats(dec_lo, dec_hi, b, L):
-    """(main matrix, remainder matrix or None) covering L output rows."""
-    Dm, K = analysis_matrix(dec_lo, dec_hi, b)
-    r = L - (L // b) * b
-    Dr = analysis_matrix(dec_lo, dec_hi, r)[0] if r else None
-    return Dm, Dr
-
-
-def _syn_mats(rec_lo, rec_hi, m, L):
-    Sm, Kp = synthesis_matrix(rec_lo, rec_hi, m)
-    r = L - (L // m) * m
-    Sr = synthesis_matrix(rec_lo, rec_hi, r)[0] if r else None
-    return Sm, Sr
-
-
 # ---------------------------------------------------------------------------
 # In-kernel banded-dot passes (sublane axis)
 # ---------------------------------------------------------------------------
@@ -164,19 +149,6 @@ def _syn_dots(lop, hip, Sm, Sr, m, Kp, L):
                              hip[m * nfull: m * nfull + Kr, :]], axis=0)
         outs.append(_dot(Sr, z))
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-
-
-def _pad_lanes_T(t, lpad, rpad):
-    """Transpose t and periodically pad the (new) sublane axis."""
-    tt = t.T
-    n = tt.shape[0]
-    parts = []
-    if lpad:
-        parts.append(tt[n - lpad:, :])
-    parts.append(tt)
-    if rpad:
-        parts.append(tt[:rpad, :])
-    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else tt
 
 
 # ---------------------------------------------------------------------------
@@ -251,7 +223,7 @@ def _build_dwt2d_mxu(nr, nc, flo, fhi, interpret):
         lo, hi = _ana_dots(rows, ms[0], Dr_row, b, K, L_row)
 
         def cols(t):
-            tp = _pad_lanes_T(t, lp, rp)
+            tp = pk._pad_lanes_T(t, lp, rp)
             l2, h2_ = _ana_dots(tp, ms[0], Dr_col, b, K, L_col)
             return l2.T, h2_.T
 
@@ -354,8 +326,8 @@ def _build_idwt2d_mxu(nr_out, nc_out, flo, fhi, interpret):
         t2 = _syn_dots(vr, dr, ms[0], Sr_row, m, Kp, L_row)
 
         # column-axis synthesis on the transposed planes (pass2)
-        lop = _pad_lanes_T(t1, lpc, rpc)
-        hip = _pad_lanes_T(t2, lpc, rpc)
+        lop = pk._pad_lanes_T(t1, lpc, rpc)
+        hip = pk._pad_lanes_T(t2, lpc, rpc)
         out_ref[:, :] = _syn_dots(lop, hip, ms[0], Sr_col, m, Kp, L_col).T
 
     call = pl.pallas_call(
@@ -427,7 +399,7 @@ def _build_dwt1d_mxu(nr, nc, flo, fhi, interpret):
         body_ref = refs[n_mats]
         lo_ref, hi_ref = refs[n_mats + 1:]
         Dr = ms[1] if n_mats > 1 else None
-        tp = _pad_lanes_T(body_ref[:, :], lp, rp)
+        tp = pk._pad_lanes_T(body_ref[:, :], lp, rp)
         lo, hi = _ana_dots(tp, ms[0], Dr, b, K, L)
         lo_ref[:, :] = lo.T
         hi_ref[:, :] = hi.T
@@ -484,8 +456,8 @@ def _build_idwt1d_mxu(nr, L, n_out, flo, fhi, interpret):
         ms = [refs[i][:, :] for i in range(n_mats)]
         a_ref, d_ref, out_ref = refs[n_mats:]
         Sr = ms[1] if n_mats > 1 else None
-        lop = _pad_lanes_T(a_ref[:, :], lp, rp)
-        hip = _pad_lanes_T(d_ref[:, :], lp, rp)
+        lop = pk._pad_lanes_T(a_ref[:, :], lp, rp)
+        hip = pk._pad_lanes_T(d_ref[:, :], lp, rp)
         out_ref[:, :] = _syn_dots(lop, hip, ms[0], Sr, m, Kp, L).T
 
     call = pl.pallas_call(

@@ -72,16 +72,8 @@ def _analysis_one(t, f, L):
 
 def _analysis_one_cols(t, f, lpad, rpad):
     """Decimating single-filter pass along the lane axis via transpose."""
-    tt = t.T
-    n = tt.shape[0]
-    parts = []
-    if lpad:
-        parts.append(tt[n - lpad:, :])
-    parts.append(tt)
-    if rpad:
-        parts.append(tt[:rpad, :])
-    tp = jnp.concatenate(parts, axis=0) if len(parts) > 1 else tt
-    return _analysis_one(tp, f, n // 2).T
+    tp = pk._pad_lanes_T(t, lpad, rpad)
+    return _analysis_one(tp, f, t.shape[1] // 2).T
 
 
 def _upsample_one(xp, f, Lout, lpad):
@@ -111,15 +103,7 @@ def _upsample_one(xp, f, Lout, lpad):
 
 
 def _upsample_one_cols(x, f, lpad, rpad, n_out):
-    xt = x.T
-    n = xt.shape[0]
-    parts = []
-    if lpad:
-        parts.append(xt[n - lpad:, :])
-    parts.append(xt)
-    if rpad:
-        parts.append(xt[:rpad, :])
-    xp = jnp.concatenate(parts, axis=0) if len(parts) > 1 else xt
+    xp = pk._pad_lanes_T(x, lpad, rpad)
     return _upsample_one(xp, f, n_out // 2, lpad).T
 
 
@@ -303,16 +287,8 @@ def _swt_one(t, f, s, factor, lpad, L):
 
 
 def _swt_one_cols(t, f, s, factor, lpad, rpad):
-    tt = t.T
-    n = tt.shape[0]
-    parts = []
-    if lpad:
-        parts.append(tt[n - lpad:, :])
-    parts.append(tt)
-    if rpad:
-        parts.append(tt[:rpad, :])
-    tp = jnp.concatenate(parts, axis=0) if len(parts) > 1 else tt
-    return _swt_one(tp, f, s, factor, lpad, n).T
+    tp = pk._pad_lanes_T(t, lpad, rpad)
+    return _swt_one(tp, f, s, factor, lpad, t.shape[1]).T
 
 
 def _ns_swt_kernel(terms, s, factor, lp, rp, ib, nc, scale,

@@ -99,10 +99,11 @@ def _pick_bands(n_rows, n_cols, lpad, rpad, n_bufs, max_body=512,
             continue
         ws = (lpad + ib + rpad + 2 * hh) * n_cols * 4 * n_bufs
         if ws <= budget:
-            BAND_CHOICES[(n_rows, n_cols, lpad, rpad, n_bufs,
-                          max_body)] = (ib, hh)
+            BAND_CHOICES[(n_rows, n_cols, lpad, rpad, n_bufs, max_body,
+                          budget)] = (ib, hh)
             return ib, hh
-    BAND_CHOICES[(n_rows, n_cols, lpad, rpad, n_bufs, max_body)] = None
+    BAND_CHOICES[(n_rows, n_cols, lpad, rpad, n_bufs, max_body,
+                  budget)] = None
     return None
 
 
@@ -175,9 +176,11 @@ def _analysis_sub(t, flo, fhi, L):
     return lo, hi
 
 
-def _analysis_cols(t, flo, fhi, lpad, rpad):
-    """Decimating analysis along the lane axis via transpose."""
-    tt = t.T  # (n_cols, rows)
+def _pad_lanes_T(t, lpad, rpad):
+    """Transpose t and periodically pad the (new) sublane axis — the
+    single implementation of the lane-axis wrap used by every kernel
+    family (VPU, MXU, non-separable)."""
+    tt = t.T
     n = tt.shape[0]
     parts = []
     if lpad:
@@ -185,7 +188,13 @@ def _analysis_cols(t, flo, fhi, lpad, rpad):
     parts.append(tt)
     if rpad:
         parts.append(tt[:rpad, :])
-    tp = jnp.concatenate(parts, axis=0) if len(parts) > 1 else tt
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else tt
+
+
+def _analysis_cols(t, flo, fhi, lpad, rpad):
+    """Decimating analysis along the lane axis via transpose."""
+    tp = _pad_lanes_T(t, lpad, rpad)
+    n = t.shape[1]
     lo, hi = _analysis_sub(tp, flo, fhi, n // 2)
     return lo.T, hi.T
 
@@ -216,20 +225,8 @@ def _synthesis_sub(lop, hip, flo, fhi, Lout, lpad):
 
 def _synthesis_cols(lo, hi, flo, fhi, lpad, rpad, n_out):
     """Polyphase synthesis along the lane axis via transpose."""
-    lot = lo.T
-    hit = hi.T
-    n = lot.shape[0]
-    parts_l, parts_h = [], []
-    if lpad:
-        parts_l.append(lot[n - lpad:, :])
-        parts_h.append(hit[n - lpad:, :])
-    parts_l.append(lot)
-    parts_h.append(hit)
-    if rpad:
-        parts_l.append(lot[:rpad, :])
-        parts_h.append(hit[:rpad, :])
-    lop = jnp.concatenate(parts_l, axis=0) if len(parts_l) > 1 else lot
-    hip = jnp.concatenate(parts_h, axis=0) if len(parts_h) > 1 else hit
+    lop = _pad_lanes_T(lo, lpad, rpad)
+    hip = _pad_lanes_T(hi, lpad, rpad)
     return _synthesis_sub(lop, hip, flo, fhi, n_out // 2, lpad).T
 
 

@@ -61,8 +61,10 @@ def test_mxu_analysis_matches_jnp(wname, shape):
     fb = get_filter_bank(wname)
     x = _rand(shape)
     dwt.set_kernels("jnp")
-    ref = dwt.dwt2d(x, fb)
-    dwt.set_kernels("auto")
+    try:
+        ref = dwt.dwt2d(x, fb)
+    finally:
+        dwt.set_kernels("auto")
     got = mx.dwt2d_fused_mxu(x, fb)
     assert got is not None
     for g, r in zip(got, ref):
@@ -85,8 +87,10 @@ def test_mxu_batched_vmap():
     fb = get_filter_bank("sym8")
     x = _rand((3, 64, 128))
     dwt.set_kernels("jnp")
-    ref = dwt.dwt2d(x, fb)
-    dwt.set_kernels("auto")
+    try:
+        ref = dwt.dwt2d(x, fb)
+    finally:
+        dwt.set_kernels("auto")
     got = mx.dwt2d_fused_mxu(x, fb)
     assert got is not None
     for g, r in zip(got, ref):
@@ -109,11 +113,13 @@ def test_mxu_fallbacks():
 def test_mxu_dispatch_mode():
     fb = get_filter_bank("sym8")
     x = _rand((64, 64))
-    dwt.set_kernels("jnp")
-    ref = dwt.dwt2d(x, fb)
-    dwt.set_kernels("mxu")
-    got = dwt.dwt2d(x, fb)
-    dwt.set_kernels("auto")
+    try:
+        dwt.set_kernels("jnp")
+        ref = dwt.dwt2d(x, fb)
+        dwt.set_kernels("mxu")
+        got = dwt.dwt2d(x, fb)
+    finally:
+        dwt.set_kernels("auto")
     for g, r in zip(got, ref):
         assert float(jnp.abs(g - r.astype(jnp.float32)).max()) < 2e-5
 
@@ -136,7 +142,9 @@ def test_mxu_multilevel_full_transform():
     fb = get_filter_bank("coif3")
     x = _rand((256, 256))
     dwt.set_kernels("mxu")
-    pyr = dwt.wavedec2(x, fb, 3)
-    y = dwt.waverec2(pyr, fb, x.shape)
-    dwt.set_kernels("auto")
+    try:
+        pyr = dwt.wavedec2(x, fb, 3)
+        y = dwt.waverec2(pyr, fb, x.shape)
+    finally:
+        dwt.set_kernels("auto")
     assert float(jnp.abs(y - x).max()) < 1e-5

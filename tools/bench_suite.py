@@ -21,7 +21,7 @@ Configs (BASELINE.md "benchmark configs"):
   * denoise pipeline (forward -> soft threshold -> inverse) 2048^2
   * cycle-spinning denoise (4 spins) 2048^2
   * batched-1D: 2048 rows x 4096 samples, db2
-  * batched frame stack 8 x 2048^2 (per-frame throughput)
+  * batched frame stack 8 x 1024^2 (per-frame throughput)
   * long single 1D signal, 4Mi samples, 5 levels
   * non-separable custom 2D bank roundtrip 2048^2
 """
@@ -191,9 +191,10 @@ def main():
 
     # band geometry audit: make VMEM-budget drift visible across rounds
     from pypwt_tpu.ops import pallas_dwt as _pk
-    print("\nband choices (nr, nc, lpad, rpad, bufs, max_body) -> (IB, H):",
-          file=sys.stderr)
-    for k, v in sorted(_pk.BAND_CHOICES.items()):
+    print("\nband choices (nr, nc, lpad, rpad, bufs, max_body[, budget])"
+          " -> (IB, H):", file=sys.stderr)
+    # keys mix int-first and str-tagged tuples ("mxu"/"pyr"): sort by repr
+    for k, v in sorted(_pk.BAND_CHOICES.items(), key=repr):
         print(f"  {k} -> {v}", file=sys.stderr)
     if failed:
         print(f"\nCORRECTNESS GATE FAILED: {failed}", file=sys.stderr)
