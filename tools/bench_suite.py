@@ -65,12 +65,24 @@ def main():
     results = []
     failed = []
 
-    def record(name, seconds, max_err, gate=GATE, frames=1):
+    def record(name, time_thunk, err_thunk, gate=GATE, frames=1):
+        """Correctness first, then timing: the remote compile helper is
+        flaky on very large scan programs (SIGKILL observed for the
+        4Mi-sample chained scan) — a timing-compile failure must not
+        abort the suite or mask the correctness gates."""
+        max_err = err_thunk()
         ok = bool(max_err <= gate)
-        row = {"bench": name, "time_us": round(seconds * 1e6, 2),
-               "throughput_fps": round(frames / seconds, 1),
-               "max_err": float(f"{max_err:.3e}"), "err_ok": ok,
-               "device": dev}
+        row = {"bench": name, "max_err": float(f"{max_err:.3e}"),
+               "err_ok": ok, "device": dev}
+        try:
+            seconds = time_thunk()
+            row["time_us"] = round(seconds * 1e6, 2)
+            row["throughput_fps"] = round(frames / seconds, 1)
+        except Exception as e:  # compile-relay flake: record, continue
+            row["time_us"] = None
+            row["timing_error"] = f"{type(e).__name__}"
+            print(f"[timing failed for {name}: {type(e).__name__}]",
+                  file=sys.stderr, flush=True)
         results.append(row)
         if not ok:
             failed.append(name)
@@ -88,7 +100,8 @@ def main():
         x0 = make_inputs((n, n))[0] * SCALE
         rt = lambda v: dwt.waverec2(dwt.wavedec2(v, fb, 3), fb, (n, n))
         record(f"dwt2d_roundtrip_db2_L3_{n}",
-               timeit_chained(rt, x0, iters=iters), rt_err(rt, x0))
+               lambda: timeit_chained(rt, x0, iters=iters),
+               lambda: rt_err(rt, x0))
 
     n = 2048
     x0 = make_inputs((n, n))[0] * SCALE
@@ -97,7 +110,8 @@ def main():
         fbw = get_filter_bank(wname)
         rt = lambda v: dwt.waverec2(dwt.wavedec2(v, fbw, 3), fbw, (n, n))
         record(f"dwt2d_roundtrip_{wname}_L3_2048",
-               timeit_chained(rt, x0, iters=iters), rt_err(rt, x0))
+               lambda: timeit_chained(rt, x0, iters=iters),
+               lambda: rt_err(rt, x0))
 
     # SWT 1024^2, 4 levels
     m = 1024
@@ -105,8 +119,8 @@ def main():
     s0 = make_inputs((m, m))[0] * SCALE
     rt_swt = lambda v: swt.iswt2d(swt.swt2d(v, fb2, 4), fb2)
     record("swt2d_roundtrip_db2_L4_1024",
-           timeit_chained(rt_swt, s0, iters=max(16, iters // 4)),
-           rt_err(rt_swt, s0))
+           lambda: timeit_chained(rt_swt, s0, iters=max(16, iters // 4)),
+           lambda: rt_err(rt_swt, s0))
 
     # denoise pipeline 2048^2 (thresholding changes values by design:
     # gate on the underlying transform roundtrip instead)
@@ -116,7 +130,8 @@ def main():
         return dwt.waverec2(c, fb, (n, n))
     rt_plain = lambda v: dwt.waverec2(dwt.wavedec2(v, fb, 3), fb, (n, n))
     record("denoise_soft_db2_L3_2048",
-           timeit_chained(denoise, x0, iters=iters), rt_err(rt_plain, x0))
+           lambda: timeit_chained(denoise, x0, iters=iters),
+           lambda: rt_err(rt_plain, x0))
 
     # cycle-spinning denoise (4 spins), jit-fused pipeline
     from pypwt_tpu import pipeline as pl_
@@ -126,15 +141,15 @@ def main():
         return pl_.denoise2d_cycle_spinning(v, "db2", 3, 1.0, key,
                                             n_spins=4)
     record("denoise_cycle_spin4_db2_L3_2048",
-           timeit_chained(cyc, x0, iters=max(16, iters // 4)),
-           rt_err(rt_plain, x0))
+           lambda: timeit_chained(cyc, x0, iters=max(16, iters // 4)),
+           lambda: rt_err(rt_plain, x0))
 
     # batched 1D
     b0 = make_inputs((2048, 4096))[0] * SCALE
     rt1 = lambda v: dwt.waverec1(dwt.wavedec1(v, fb, 3), fb, 4096)
     record("dwt1d_batched2048_roundtrip_db2_L3_4096",
-           timeit_chained(rt1, b0, iters=max(16, iters // 4)),
-           rt_err(rt1, b0))
+           lambda: timeit_chained(rt1, b0, iters=max(16, iters // 4)),
+           lambda: rt_err(rt1, b0))
 
     # batched frame stack (per-frame throughput)
     if not args.quick:
@@ -142,8 +157,8 @@ def main():
         rts = lambda v: dwt.waverec2(dwt.wavedec2(v, fb, 3), fb,
                                      (8, 1024, 1024))
         record("dwt2d_stack8_roundtrip_db2_L3_1024",
-               timeit_chained(rts, st0, iters=max(16, iters // 4)),
-               rt_err(rts, st0), frames=8)
+               lambda: timeit_chained(rts, st0, iters=max(16, iters // 4)),
+               lambda: rt_err(rts, st0), frames=8)
 
     # long single 1D signal (reference sweeps 1D up to 1e7)
     if not args.quick:
@@ -151,7 +166,8 @@ def main():
         l0 = make_inputs((nl,))[0] * SCALE
         rtl = lambda v: dwt.waverec1(dwt.wavedec1(v, fb, 5), fb, nl)
         record("dwt1d_long_roundtrip_db2_L5_4Mi",
-               timeit_chained(rtl, l0, iters=16), rt_err(rtl, l0))
+               lambda: timeit_chained(rtl, l0, iters=16),
+               lambda: rt_err(rtl, l0))
 
     # non-separable TRUE-2D path: anisotropic db3(rows) x coif1(cols) bank
     # is perfect-reconstruction but non-factorable into one isotropic 1D
@@ -173,8 +189,8 @@ def main():
         rtn = lambda v: ns.ns_waverec2(ns.ns_wavedec2(v, f2d, 3), f2d,
                                        (n, n))
         record("nonsep_true2d_db3xcoif1_roundtrip_L3_2048",
-               timeit_chained(rtn, x0, iters=max(16, iters // 4)),
-               rt_err(rtn, x0))
+               lambda: timeit_chained(rtn, x0, iters=max(16, iters // 4)),
+               lambda: rt_err(rtn, x0))
 
     if args.out:
         with open(args.out, "a") as f:
@@ -186,8 +202,9 @@ def main():
     print("\n| bench | us | frames/s | max_err |", file=sys.stderr)
     print("|---|---|---|---|", file=sys.stderr)
     for r in results:
-        print(f"| {r['bench']} | {r['time_us']} | {r['throughput_fps']} "
-              f"| {r['max_err']} |", file=sys.stderr)
+        print(f"| {r['bench']} | {r['time_us']} "
+              f"| {r.get('throughput_fps', '-')} | {r['max_err']} |",
+              file=sys.stderr)
 
     # band geometry audit: make VMEM-budget drift visible across rounds
     from pypwt_tpu.ops import pallas_dwt as _pk
