@@ -50,15 +50,25 @@ def denoise2d(img, wname, levels, beta, do_swt=False, hard=False,
 
 @functools.partial(jax.jit, static_argnames=(
     "wname", "levels", "n_spins", "hard", "normalize",
-    "threshold_appcoeffs"))
-def denoise2d_cycle_spinning(img, wname, levels, beta, key, n_spins=8,
-                             hard=False, normalize=False,
-                             threshold_appcoeffs=False):
-    """Translation-invariant denoising by averaging over ``n_spins``
-    random circular shifts (the reference's cycle spinning, wt.cu:242-246
-    and :303, run as a device-side lax.scan).
+    "threshold_appcoeffs", "shifts"))
+def denoise2d_cycle_spinning(img, wname, levels, beta, key=None,
+                             n_spins=8, hard=False, normalize=False,
+                             threshold_appcoeffs=False, shifts=None):
+    """Translation-invariant denoising by averaging over circular shifts
+    (the reference's cycle spinning, wt.cu:242-246 and :303).
 
-    ``key`` is a jax.random key; results are reproducible.
+    Two modes:
+
+    * ``shifts=((r0, c0), ...)`` — a STATIC tuple of shifts.  The spins
+      unroll at trace time and the rolls compile to fused static slices
+      (a dynamic 2D roll costs two full HBM round trips on TPU; static
+      ones are nearly free).  Because an L-level periodized DWT is
+      invariant to translations by multiples of 2^L, only shifts mod
+      2^levels are distinct — the default diagonal schedule
+      ``((0,0), (1,1), ..)`` already covers distinct cosets.
+    * ``key=<jax.random key>`` — ``n_spins`` random shifts drawn on
+      device (reproducible), run as a lax.scan.  Matches the
+      reference's rand()-based behavior; ~2x slower per spin.
     """
     fb = get_filter_bank(wname)
     levels = clamp_levels(levels, img.shape[-2:], fb.hlen, 2)
@@ -66,14 +76,27 @@ def denoise2d_cycle_spinning(img, wname, levels, beta, key, n_spins=8,
     nr, nc = img.shape[-2], img.shape[-1]
     th = thresh.hard_threshold if hard else thresh.soft_threshold
 
+    def spin(shifted):
+        pyr = fwd(shifted)
+        pyr = th(pyr, beta, bool(threshold_appcoeffs), bool(normalize))
+        return inv(pyr)
+
+    if shifts is not None:
+        acc = None
+        for (sr, sc) in shifts:
+            rec = spin(jnp.roll(img, (sr, sc), (-2, -1)))
+            rec = jnp.roll(rec, (-sr, -sc), (-2, -1))
+            acc = rec if acc is None else acc + rec
+        return acc / len(shifts)
+
+    if key is None:
+        raise ValueError("pass either a random key or static shifts")
+
     def one(carry, k):
         sr = jax.random.randint(k, (), 0, nr)
         sc = jax.random.randint(jax.random.fold_in(k, 1), (), 0, nc)
         shifted = jnp.roll(img, (sr, sc), (-2, -1))
-        pyr = fwd(shifted)
-        pyr = th(pyr, beta, bool(threshold_appcoeffs), bool(normalize))
-        rec = inv(pyr)
-        rec = jnp.roll(rec, (-sr, -sc), (-2, -1))
+        rec = jnp.roll(spin(shifted), (-sr, -sc), (-2, -1))
         return carry + rec, None
 
     keys = jax.random.split(key, n_spins)

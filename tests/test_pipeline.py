@@ -68,3 +68,29 @@ def test_profiling_utils(tmp_path):
     p = profiling.enable_compile_cache(str(tmp_path / "xla_cache"))
     import os
     assert os.path.isdir(p)
+
+
+def test_cycle_spinning_static_shifts():
+    """Static-shift mode matches the per-shift math (beta=0 reduces to
+    identity: every shift round-trips exactly), and distinct cosets give
+    the same result as their mod-2^levels equivalents."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pypwt_tpu import pipeline
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.random((64, 64), dtype=np.float32) * 255)
+    out = pipeline.denoise2d_cycle_spinning(
+        img, "db2", 3, 0.0, shifts=((0, 0), (1, 1), (2, 3), (5, 7)))
+    assert float(jnp.abs(out - img).max()) < 7e-4 * 255
+
+    # shift-periodicity: shifting by 2^levels is the identity coset
+    a = pipeline.denoise2d_cycle_spinning(img, "db2", 3, 4.0,
+                                          shifts=((1, 2),))
+    b = pipeline.denoise2d_cycle_spinning(img, "db2", 3, 4.0,
+                                          shifts=((1 + 8, 2 + 8),))
+    assert float(jnp.abs(a - b).max()) < 1e-3
+
+    import pytest
+    with pytest.raises(ValueError, match="random key or static"):
+        pipeline.denoise2d_cycle_spinning(img, "db2", 3, 1.0)

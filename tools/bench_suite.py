@@ -144,6 +144,16 @@ def main():
            lambda: timeit_chained(cyc, x0, iters=max(16, iters // 4)),
            lambda: rt_err(rt_plain, x0))
 
+    # static-shift mode: spins unroll at trace time; covers the distinct
+    # mod-2^levels cosets (dynamic rolls cost 2 full HBM round trips per
+    # spin because they cannot fuse into the opaque Pallas calls)
+    def cyc_s(v):
+        return pl_.denoise2d_cycle_spinning(
+            v, "db2", 3, 1.0, shifts=((0, 0), (1, 1), (2, 2), (3, 3)))
+    record("denoise_cycle_spin4static_db2_L3_2048",
+           lambda: timeit_chained(cyc_s, x0, iters=max(16, iters // 4)),
+           lambda: rt_err(rt_plain, x0))
+
     # batched 1D
     b0 = make_inputs((2048, 4096))[0] * SCALE
     rt1 = lambda v: dwt.waverec1(dwt.wavedec1(v, fb, 3), fb, 4096)
