@@ -89,10 +89,10 @@ def _pick_bands(n_rows, n_cols, lpad, rpad, n_bufs, max_body=512,
         return None
     if budget is None:
         budget = _VMEM_BUDGET
-    # ib=1024 only as a banded (grid >= 2) config: whole-image bands
-    # measured slower (2048^2 db2 analysis: ib=1024 pair 143 us,
-    # ib=2048 148.5, ib=512 155)
-    cands = [1024] if n_rows >= 2048 else []
+    # ib=1024 preferred where it fits (measured db2 pairs: 2048^2
+    # ib=1024 143 us vs ib=512 155 vs whole-image 148.5; 1024^2
+    # whole-image ib=1024 33.1 us vs ib=512 36.2)
+    cands = [1024] if n_rows >= 1024 else []
     cands += [512, 256, 128, 64, 32, 16, 8]
     for ib in cands:
         if ib > max_body or n_rows % ib or ib % hh:
