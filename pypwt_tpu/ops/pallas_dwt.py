@@ -790,226 +790,236 @@ def iswt1d_level_fused(a, d, fb, level):
 
 
 # ---------------------------------------------------------------------------
-# Long-1D: fused kernels on pre-folded rows.  A single long signal is
-# folded to (rows, cols) with inter-row halo columns gathered in XLA
-# (conv.fold_rows_analysis); the kernel then runs the batched lane-axis
-# transform with NO in-kernel periodic wrap.  This routes the long-1D
-# path (previously jnp-only, ~40x off roofline) through the same
-# transposed-sublane machinery as the batched-1D kernels.
+# Long-1D: fused kernels on folded rows.  A single long signal is viewed
+# as (rows, cols); each row's periodic lane pads come from its neighbour
+# rows' tails/heads, built INSIDE the kernel from sublane-shifted planes
+# plus 1-row wrap halos (xla-side fold-pad materialization measured one
+# extra HBM round trip per level: 121 vs 109 us for a 4Mi analysis).
+# Pads wider than one row (deep SWT dilations) fall back to the jnp
+# multi-row fold (conv.fold_rows_analysis).
 # ---------------------------------------------------------------------------
 
-def _dwt1d_padded_kernel(flo, fhi, L, body_ref, lo_ref, hi_ref):
-    tp = body_ref[:, :].T  # (c + lp + rp, ib), pads included
+def _fold_pad(top_ref, body_ref, bot_ref, lp, rp):
+    """In-VMEM lane pads of a folded long-1D plane: row i's left pad is
+    row i-1's tail, right pad row i+1's head; the first/last rows of the
+    band take them from the wrapped halo blocks."""
+    body = body_ref[:, :]
+    c = body.shape[1]
+    hh = top_ref.shape[0]
+    parts = []
+    if lp:
+        prev = jnp.concatenate([top_ref[hh - 1: hh, :], body[:-1, :]],
+                               axis=0)
+        parts.append(prev[:, c - lp:])
+    parts.append(body)
+    if rp:
+        nxt = jnp.concatenate([body[1:, :], bot_ref[0:1, :]], axis=0)
+        parts.append(nxt[:, :rp])
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else body
+
+
+def _long1d_bands(nr, c, lp, rp, hlen, n_bufs):
+    """(ib, hh) for a folded plane, or None.  Declines multi-row pads
+    and the wide-filter x narrow-fold VMEM blowup (transposed planes
+    have ib lanes; below 128 Mosaic pads per-tap temporaries to full
+    128-lane tiles — a db8 at 32 folded rows measured 142 MB VMEM)."""
+    if max(lp, rp) > c:
+        return None
+    bands = _pick_bands(nr, c, 1, 1, n_bufs=n_bufs)
+    if bands is None:
+        return None
+    ib, hh = bands
+    if ib < 128 and hlen * (c + lp + rp) * 128 * 4 > 48 * 1024 * 1024:
+        return None
+    return ib, hh
+
+
+def _dwt1d_long_kernel(flo, fhi, lp, rp, L,
+                       top_ref, body_ref, bot_ref, lo_ref, hi_ref):
+    tp = _fold_pad(top_ref, body_ref, bot_ref, lp, rp).T
     lo, hi = _analysis_sub(tp, flo, fhi, L)
     lo_ref[:, :] = lo.T
     hi_ref[:, :] = hi.T
 
 
 @functools.lru_cache(maxsize=512)
-def _build_dwt1d_padded(nr, c, lp, rp, flo, fhi, interpret):
+def _build_dwt1d_long(nr, c, lp, rp, flo, fhi, interpret):
     hlen = len(flo)
-    if hlen % 2 or c % 2:
+    if hlen % 2 or c % 2 or (c + lp + rp) % 2:
         return None
-    nc_pad = c + lp + rp
-    if nc_pad % 2:
-        return None
-    bands = _pick_bands(nr, nc_pad, 0, 0, n_bufs=6)
+    bands = _long1d_bands(nr, c, lp, rp, hlen, n_bufs=6)
     if bands is None:
         return None
-    ib, _ = bands
-    # Transposed planes have ib lanes; below 128 Mosaic pads every
-    # per-tap temporary to full 128-lane tiles.  Decline when the padded
-    # per-tap working set gets large (db8 at 32 folded rows measured
-    # 142 MB > the 128 MB chip); the jnp folded path serves instead.
-    if ib < 128 and hlen * (c + lp + rp) * 128 * 4 > 48 * 1024 * 1024:
-        return None
-    body = pl.BlockSpec((ib, nc_pad), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
+    ib, hh = bands
+    top, body, bot = _halo_specs(ib, hh, nr, c)
     out_spec = pl.BlockSpec((ib, c // 2), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_sds = jax.ShapeDtypeStruct((nr, c // 2), jnp.float32)
-    kern = functools.partial(_dwt1d_padded_kernel, flo, fhi, c // 2)
-    return pl.pallas_call(
-        kern, grid=(nr // ib,), in_specs=[body],
+    kern = functools.partial(_dwt1d_long_kernel, flo, fhi, lp, rp,
+                             c // 2)
+    call = pl.pallas_call(
+        kern, grid=(nr // ib,), in_specs=[top, body, bot],
         out_specs=[out_spec] * 2, out_shape=[out_sds] * 2,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret)
+    return lambda x2: call(x2, x2, x2)
 
 
 def dwt1d_long_fused(x, fb, rc):
-    """One analysis level of a long 1D signal via fold + fused kernel;
-    None if uncovered (caller falls back to the jnp folded path)."""
+    """One analysis level of a long 1D signal via the folded-plane
+    kernel; None if uncovered (caller falls back to the jnp path)."""
     if x.ndim != 1 or x.dtype != jnp.float32:
         return None
     r, c = rc
     lp, rp = conv.analysis_pads(fb.hlen)
-    f = _build_dwt1d_padded(r, c, lp, rp, _taps(fb.dec_lo),
-                            _taps(fb.dec_hi), _interpret())
+    f = _build_dwt1d_long(r, c, lp, rp, _taps(fb.dec_lo),
+                          _taps(fb.dec_hi), _interpret())
     if f is None:
         return None
-    xp = conv.fold_rows_analysis(x.reshape(r, c), lp, rp)
-    lo, hi = f(xp)
+    lo, hi = f(x.reshape(r, c))
     return lo.reshape(-1), hi.reshape(-1)
 
 
-def _idwt1d_padded_kernel(flo, fhi, lp, c, a_ref, d_ref, out_ref):
-    out_ref[:, :] = _synthesis_sub(a_ref[:, :].T, d_ref[:, :].T,
-                                   flo, fhi, c, lp).T
+def _idwt1d_long_kernel(flo, fhi, lp, rp, c, refs):
+    a_top, a_body, a_bot, d_top, d_body, d_bot, out_ref = refs
+    ap = _fold_pad(a_top, a_body, a_bot, lp, rp)
+    dp = _fold_pad(d_top, d_body, d_bot, lp, rp)
+    out_ref[:, :] = _synthesis_sub(ap.T, dp.T, flo, fhi, c, lp).T
 
 
 @functools.lru_cache(maxsize=512)
-def _build_idwt1d_padded(nr, c, lp, rp, flo, fhi, interpret):
+def _build_idwt1d_long(nr, c, lp, rp, flo, fhi, interpret):
     hlen = len(flo)
     if hlen % 2:
         return None
-    nc_pad = c + lp + rp
-    bands = _pick_bands(nr, nc_pad, 0, 0, n_bufs=8)
+    bands = _long1d_bands(nr, c, lp, rp, hlen, n_bufs=8)
     if bands is None:
         return None
-    ib, _ = bands
-    # Transposed planes have ib lanes; below 128 Mosaic pads every
-    # per-tap temporary to full 128-lane tiles.  Decline when the padded
-    # per-tap working set gets large (db8 at 32 folded rows measured
-    # 142 MB > the 128 MB chip); the jnp folded path serves instead.
-    if ib < 128 and hlen * (c + lp + rp) * 128 * 4 > 48 * 1024 * 1024:
-        return None
-    in_spec = pl.BlockSpec((ib, nc_pad), lambda i: (i, 0),
-                           memory_space=pltpu.VMEM)
+    ib, hh = bands
+    top, body, bot = _halo_specs(ib, hh, nr, c)
     out_spec = pl.BlockSpec((ib, 2 * c), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_sds = jax.ShapeDtypeStruct((nr, 2 * c), jnp.float32)
-    kern = functools.partial(_idwt1d_padded_kernel, flo, fhi, lp, c)
-    return pl.pallas_call(
-        kern, grid=(nr // ib,), in_specs=[in_spec, in_spec],
+    kern = functools.partial(_idwt1d_long_kernel, flo, fhi, lp, rp, c)
+    call = pl.pallas_call(
+        lambda *refs: kern(refs), grid=(nr // ib,),
+        in_specs=[top, body, bot] * 2,
         out_specs=out_spec, out_shape=out_sds,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret)
+    return lambda a2, d2: call(a2, a2, a2, d2, d2, d2)
 
 
 def idwt1d_long_fused(a, d, fb, n_out, rc):
-    """One synthesis level of a long 1D pair via fold + fused kernel;
-    ``rc`` folds the coefficient length (n_out // 2)."""
+    """One synthesis level of a long 1D pair via the folded-plane
+    kernel; ``rc`` folds the coefficient length (n_out // 2)."""
     if a.ndim != 1 or a.dtype != jnp.float32 or a.shape != d.shape:
         return None
     r, c = rc
     if n_out != 2 * r * c:
         return None
     lp, rp = conv.synthesis_pads(fb.hlen, c, 2 * c)
-    f = _build_idwt1d_padded(r, c, lp, rp, _taps(fb.rec_lo),
-                             _taps(fb.rec_hi), _interpret())
+    f = _build_idwt1d_long(r, c, lp, rp, _taps(fb.rec_lo),
+                           _taps(fb.rec_hi), _interpret())
     if f is None:
         return None
-    lop = conv.fold_rows_analysis(a.reshape(r, c), lp, rp)
-    hip = conv.fold_rows_analysis(d.reshape(r, c), lp, rp)
-    return f(lop, hip).reshape(-1)
+    return f(a.reshape(r, c), d.reshape(r, c)).reshape(-1)
 
 
-def _swt1d_padded_kernel(flo, fhi, lp, s, factor, c,
-                         body_ref, lo_ref, hi_ref):
-    tp = body_ref[:, :].T
+def _swt1d_long_kernel(flo, fhi, lp, rp, s, factor, c,
+                       top_ref, body_ref, bot_ref, lo_ref, hi_ref):
+    tp = _fold_pad(top_ref, body_ref, bot_ref, lp, rp).T
     lo, hi = _swt_sub(tp, flo, fhi, s, factor, lp, c)
     lo_ref[:, :] = lo.T
     hi_ref[:, :] = hi.T
 
 
 @functools.lru_cache(maxsize=512)
-def _build_swt1d_padded(nr, c, level, flo, fhi, interpret):
+def _build_swt1d_long(nr, c, level, flo, fhi, interpret):
     hlen = len(flo)
     lp, rp, s, factor = _swt_pads(hlen, level, inverse=False)
-    bands = _pick_bands(nr, c + lp + rp, 0, 0, n_bufs=6)
+    bands = _long1d_bands(nr, c, lp, rp, hlen, n_bufs=6)
     if bands is None:
         return None
-    ib, _ = bands
-    # Transposed planes have ib lanes; below 128 Mosaic pads every
-    # per-tap temporary to full 128-lane tiles.  Decline when the padded
-    # per-tap working set gets large (db8 at 32 folded rows measured
-    # 142 MB > the 128 MB chip); the jnp folded path serves instead.
-    if ib < 128 and hlen * (c + lp + rp) * 128 * 4 > 48 * 1024 * 1024:
-        return None
-    body = pl.BlockSpec((ib, c + lp + rp), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
+    ib, hh = bands
+    top, body, bot = _halo_specs(ib, hh, nr, c)
     out_spec = pl.BlockSpec((ib, c), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_sds = jax.ShapeDtypeStruct((nr, c), jnp.float32)
-    kern = functools.partial(_swt1d_padded_kernel, flo, fhi, lp, s,
+    kern = functools.partial(_swt1d_long_kernel, flo, fhi, lp, rp, s,
                              factor, c)
-    return pl.pallas_call(
-        kern, grid=(nr // ib,), in_specs=[body],
+    call = pl.pallas_call(
+        kern, grid=(nr // ib,), in_specs=[top, body, bot],
         out_specs=[out_spec] * 2, out_shape=[out_sds] * 2,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=interpret), lp, rp, factor
+        interpret=interpret)
+    return (lambda x2: call(x2, x2, x2)), factor
 
 
 def swt1d_long_fused(x, fb, level, rc):
-    """One a-trous analysis level of a long 1D signal via fold + fused
-    kernel; None if uncovered (deep whole-row dilations run the jnp
-    row-roll path, which is already streaming-bound)."""
+    """One a-trous analysis level of a long 1D signal; None if
+    uncovered (whole-row dilations run the jnp row-roll path, multi-row
+    pads the jnp fold)."""
     if x.ndim != 1 or x.dtype != jnp.float32:
         return None
     r, c = rc
-    built = _build_swt1d_padded(r, c, level, _taps(fb.dec_lo),
-                                _taps(fb.dec_hi), _interpret())
+    built = _build_swt1d_long(r, c, level, _taps(fb.dec_lo),
+                              _taps(fb.dec_hi), _interpret())
     if built is None:
         return None
-    f, lp, rp, factor = built
+    f, factor = built
     if factor % c == 0:
         return None  # row-roll fast path handles this better
-    xp = conv.fold_rows_analysis(x.reshape(r, c), lp, rp)
-    lo, hi = f(xp)
+    lo, hi = f(x.reshape(r, c))
     return lo.reshape(-1), hi.reshape(-1)
 
 
-def _iswt1d_padded_kernel(flo, fhi, lp, s, factor, c,
-                          a_ref, d_ref, out_ref):
-    out_ref[:, :] = _swt_combine_sub(a_ref[:, :].T, d_ref[:, :].T,
-                                     flo, fhi, s, factor, lp, c).T
+def _iswt1d_long_kernel(flo, fhi, lp, rp, s, factor, c, refs):
+    a_top, a_body, a_bot, d_top, d_body, d_bot, out_ref = refs
+    ap = _fold_pad(a_top, a_body, a_bot, lp, rp)
+    dp = _fold_pad(d_top, d_body, d_bot, lp, rp)
+    out_ref[:, :] = _swt_combine_sub(ap.T, dp.T, flo, fhi, s, factor,
+                                     lp, c).T
 
 
 @functools.lru_cache(maxsize=512)
-def _build_iswt1d_padded(nr, c, level, flo, fhi, interpret):
+def _build_iswt1d_long(nr, c, level, flo, fhi, interpret):
     hlen = len(flo)
     lp, rp, s, factor = _swt_pads(hlen, level, inverse=True)
-    bands = _pick_bands(nr, c + lp + rp, 0, 0, n_bufs=8)
+    bands = _long1d_bands(nr, c, lp, rp, hlen, n_bufs=8)
     if bands is None:
         return None
-    ib, _ = bands
-    # Transposed planes have ib lanes; below 128 Mosaic pads every
-    # per-tap temporary to full 128-lane tiles.  Decline when the padded
-    # per-tap working set gets large (db8 at 32 folded rows measured
-    # 142 MB > the 128 MB chip); the jnp folded path serves instead.
-    if ib < 128 and hlen * (c + lp + rp) * 128 * 4 > 48 * 1024 * 1024:
-        return None
-    spec = pl.BlockSpec((ib, c + lp + rp), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
+    ib, hh = bands
+    top, body, bot = _halo_specs(ib, hh, nr, c)
     out_spec = pl.BlockSpec((ib, c), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_sds = jax.ShapeDtypeStruct((nr, c), jnp.float32)
-    kern = functools.partial(_iswt1d_padded_kernel, flo, fhi, lp, s,
+    kern = functools.partial(_iswt1d_long_kernel, flo, fhi, lp, rp, s,
                              factor, c)
-    return pl.pallas_call(
-        kern, grid=(nr // ib,), in_specs=[spec, spec],
+    call = pl.pallas_call(
+        lambda *refs: kern(refs), grid=(nr // ib,),
+        in_specs=[top, body, bot] * 2,
         out_specs=out_spec, out_shape=out_sds,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=interpret), lp, rp, factor
+        interpret=interpret)
+    return (lambda a2, d2: call(a2, a2, a2, d2, d2, d2)), factor
 
 
 def iswt1d_long_fused(a, d, fb, level, rc):
-    """One a-trous synthesis level of a long 1D pair via fold + fused
-    kernel; None if uncovered."""
+    """One a-trous synthesis level of a long 1D pair; None if
+    uncovered."""
     if a.ndim != 1 or a.dtype != jnp.float32 or a.shape != d.shape:
         return None
     r, c = rc
-    built = _build_iswt1d_padded(r, c, level, _taps(fb.rec_lo),
-                                 _taps(fb.rec_hi), _interpret())
+    built = _build_iswt1d_long(r, c, level, _taps(fb.rec_lo),
+                               _taps(fb.rec_hi), _interpret())
     if built is None:
         return None
-    f, lp, rp, factor = built
+    f, factor = built
     if factor % c == 0:
         return None
-    lop = conv.fold_rows_analysis(a.reshape(r, c), lp, rp)
-    hip = conv.fold_rows_analysis(d.reshape(r, c), lp, rp)
-    return f(lop, hip).reshape(-1)
+    return f(a.reshape(r, c), d.reshape(r, c)).reshape(-1)
