@@ -178,6 +178,10 @@ def main():
         record("dwt1d_long_roundtrip_db2_L5_4Mi",
                lambda: timeit_chained(rtl, l0, iters=16),
                lambda: rt_err(rtl, l0))
+        rtsl = lambda v: swt.iswt1d(swt.swt1d(v, fb, 4), fb)
+        record("swt1d_long_roundtrip_db2_L4_4Mi",
+               lambda: timeit_chained(rtsl, l0, iters=8),
+               lambda: rt_err(rtsl, l0))
 
     # non-separable TRUE-2D path: anisotropic db3(rows) x coif1(cols) bank
     # is perfect-reconstruction but non-factorable into one isotropic 1D
