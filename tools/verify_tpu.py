@@ -56,7 +56,7 @@ def main():
     dev = jax.devices()[0].device_kind
     backend = jax.default_backend()
     names = (["haar", "db2", "db8", "sym8", "coif3", "bior4.4", "rbio3.5",
-              "dmey"] if args.quick else wavelist())
+              "db10"] if args.quick else wavelist())
 
     n = args.size
     rng = np.random.default_rng(42)
