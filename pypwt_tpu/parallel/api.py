@@ -17,22 +17,29 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..filters import get_filter_bank
+from ..filters import get_filter_bank, FilterBank
 from ..core import dwt, haar, swt, thresh
 from ..core.shapes import clamp_levels
 from . import mesh as pmesh
 from .batch import shard_stack
 
+_roll_cols = jax.jit(lambda x, sc: jnp.roll(x, sc, -1))
+_roll_2d = jax.jit(lambda x, sr, sc: jnp.roll(x, (sr, sc), (-2, -1)))
+
 
 class BatchedWavelets:
     """Wavelet plan for a (B, Nr, Nc) frame stack sharded across chips.
 
-    Parameters mirror ``Wavelets`` (wname, levels, do_swt); ``mesh``
-    defaults to all local devices on the data axis.  The batch axis must
-    be divisible by the mesh's data-axis size.
+    Parameters mirror ``Wavelets`` (wname, levels, do_swt,
+    do_cycle_spinning, ndim); ``mesh`` defaults to all local devices on
+    the data axis.  The batch axis must be divisible by the mesh's
+    data-axis size.  ``ndim=1`` transforms each frame row as an
+    independent 1D signal (the reference's batched-1D mode,
+    pypwt.pyx:146-151, scaled over the mesh).
     """
 
-    def __init__(self, stack, wname, levels, do_swt=0, mesh=None):
+    def __init__(self, stack, wname, levels, do_swt=0, mesh=None,
+                 ndim=2, do_cycle_spinning=0, seed=None):
         stack = np.asarray(stack, dtype=np.float32)
         if stack.ndim != 3:
             raise ValueError("BatchedWavelets expects a (B, Nr, Nc) stack")
@@ -46,18 +53,35 @@ class BatchedWavelets:
         self.shape = stack.shape
         self.wname = wname
         self.do_swt = int(bool(do_swt))
+        self.ndim = 1 if int(ndim) == 1 else 2
+        self.do_cycle_spinning = int(bool(do_cycle_spinning))
+        self._rng = np.random.default_rng(seed)
+        self.current_shift = (0, 0)
         self._fb = get_filter_bank(wname)
         self.hlen = self._fb.hlen
         self.levels = clamp_levels(int(levels), (self.Nr, self.Nc),
-                                   self.hlen, 2)
+                                   self.hlen, self.ndim)
 
         self._stack = shard_stack(jnp.asarray(stack), self.mesh)
         self._coeffs = None
+        self._build_plans()
 
+    def _build_plans(self):
         fb = self._fb
         lv = self.levels
         use_haar = fb.hlen == 2 and not self.do_swt
-        if use_haar:
+        if self.ndim == 1:
+            n = self.Nc
+            if use_haar:
+                fwd = lambda x: haar.haar_wavedec1(x, lv)
+                inv = lambda c: haar.haar_waverec1(c, n)
+            elif self.do_swt:
+                fwd = lambda x: swt.swt1d(x, fb, lv)
+                inv = lambda c: swt.iswt1d(c, fb)
+            else:
+                fwd = lambda x: dwt.wavedec1(x, fb, lv)
+                inv = lambda c: dwt.waverec1(c, fb, n)
+        elif use_haar:
             fwd = lambda x: haar.haar_wavedec2(x, lv)
             inv = lambda c: haar.haar_waverec2(c, self.shape)
         elif self.do_swt:
@@ -68,8 +92,25 @@ class BatchedWavelets:
             inv = lambda c: dwt.waverec2(c, fb, self.shape)
         self._fwd = jax.jit(fwd)
         self._inv = jax.jit(inv)
+        self._denoise_cache = {}
+
+    def set_wavelets_filters(self, filter_name, lowpass, highpass,
+                             i_lowpass, i_highpass):
+        """Install a custom separable filter bank (pypwt.pyx:487-576) and
+        rebuild the compiled plans."""
+        self._fb = FilterBank.custom(filter_name, lowpass, highpass,
+                                     i_lowpass, i_highpass)
+        self.wname = filter_name
+        self.hlen = self._fb.hlen
+        self._coeffs = None
+        self._build_plans()
 
     # ------------------------------------------------------------------
+
+    def _shift(self, x, sr, sc):
+        if self.ndim == 1:
+            return _roll_cols(x, sc)  # common.cu:386: sr=0 for 1D
+        return _roll_2d(x, sr, sc)
 
     def forward(self, stack=None):
         if stack is not None:
@@ -77,6 +118,11 @@ class BatchedWavelets:
             if stack.shape != self.shape:
                 raise ValueError("stack shape changed")
             self._stack = shard_stack(jnp.asarray(stack), self.mesh)
+        if self.do_cycle_spinning:
+            sr = int(self._rng.integers(0, self.Nr))
+            sc = int(self._rng.integers(0, self.Nc))
+            self.current_shift = (sr, sc)
+            self._stack = self._shift(self._stack, sr, sc)
         self._coeffs = self._fwd(self._stack)
         return self
 
@@ -84,6 +130,9 @@ class BatchedWavelets:
         if self._coeffs is None:
             raise RuntimeError("forward() has not been run")
         self._stack = self._inv(self._coeffs)
+        if self.do_cycle_spinning:
+            sr, sc = self.current_shift
+            self._stack = self._shift(self._stack, -sr, -sc)
         return self
 
     def _guard(self):
@@ -127,28 +176,14 @@ class BatchedWavelets:
         traced argument so sweeping it never recompiles (first compiles
         cost tens of seconds on this platform)."""
         key = (bool(normalize), bool(hard))
-        cache = getattr(self, "_denoise_cache", None)
-        if cache is None:
-            cache = self._denoise_cache = {}
+        cache = self._denoise_cache
         if key not in cache:
-            fb, lv, shape = self._fb, self.levels, self.shape
-            swt_mode = self.do_swt
+            fwd, inv = self._fwd, self._inv
+            th = (thresh.hard_threshold if key[1]
+                  else thresh.soft_threshold)
 
             def step(x, beta):
-                if fb.hlen == 2 and not swt_mode:
-                    pyr = haar.haar_wavedec2(x, lv)
-                elif swt_mode:
-                    pyr = swt.swt2d(x, fb, lv)
-                else:
-                    pyr = dwt.wavedec2(x, fb, lv)
-                th = (thresh.hard_threshold if key[1]
-                      else thresh.soft_threshold)
-                pyr = th(pyr, beta, False, key[0])
-                if fb.hlen == 2 and not swt_mode:
-                    return haar.haar_waverec2(pyr, shape)
-                if swt_mode:
-                    return swt.iswt2d(pyr, fb)
-                return dwt.waverec2(pyr, fb, shape)
+                return inv(th(fwd(x), beta, False, key[0]))
 
             cache[key] = jax.jit(step)
         return cache[key]
@@ -157,7 +192,8 @@ class BatchedWavelets:
         """Fused forward -> threshold -> inverse (one compiled step,
         no host round trips); returns self."""
         step = self._denoise_step(normalize, hard)
-        self._stack = step(self._stack, jnp.float32(beta))
+        self._stack = step(self._stack,
+                           jnp.asarray(beta, self._stack.dtype))
         self._coeffs = None
         return self
 
@@ -172,10 +208,17 @@ class BatchedWavelets:
         return self._stack
 
     def coeff_only(self, num):
-        """One coefficient plane for the whole batch, gathered to host."""
+        """One coefficient plane for the whole batch, gathered to host.
+
+        Indexing: 2D: 0=A, 1=H1, 2=V1, 3=D1, ...; 1D: 0=A, i=Di
+        (wt.cu:478-502)."""
         self._guard()
         if num == 0:
             return np.asarray(self._coeffs[0])
+        if self.ndim == 1:
+            if num > self.levels:
+                raise ValueError(f"coefficient {num} out of range")
+            return np.asarray(self._coeffs[num])
         level = (num - 1) // 3 + 1
         sub = (num - 1) % 3
         if level > self.levels:

@@ -9,9 +9,9 @@ on the first<->last link of the ring, so a halo exchange on a ring mesh
 
 Halo widths: DWT analysis needs (hlen-1-s, s-1) rows (conv.analysis_pads);
 synthesis needs coefficient halos from conv.synthesis_pads; SWT dilates
-both by 2^(level-1).  The local shard must be at least as tall as the halo
-(enforced; deepen the mesh only as far as the shard height allows — the
-same constraint SURVEY.md §7 flags for deep SWT).
+both by 2^(level-1).  Halos wider than one shard (deep SWT dilations) are
+gathered with one ppermute per ring hop, so sharded SWT is depth-complete
+(the constraint SURVEY.md §7 flags is handled, not refused).
 """
 
 from __future__ import annotations
@@ -26,36 +26,64 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..core import conv
+from ..core import dwt as _dwt
+from ..core import swt as _swt
 from .mesh import BATCH_AXIS, ROW_AXIS
 
 
-def _ring_perms(n):
-    fwd = [(i, (i + 1) % n) for i in range(n)]  # data moves to the right
-    bwd = [(i, (i - 1) % n) for i in range(n)]
-    return fwd, bwd
+def _pk():
+    from ..ops import pallas_dwt
+    return pallas_dwt
+
+
+def _taps(f):
+    import numpy as np
+    return tuple(float(v) for v in np.asarray(f, dtype=np.float64))
+
+
+def _collect_left(x, pad, axis_name, axis_size):
+    """The ``pad`` samples preceding this shard's block in the global
+    (periodic) array: the tail of the left neighbors' concatenation,
+    gathered farthest-first with one ppermute per ring hop.  Hops past
+    axis_size wrap (the perm is mod axis_size), so pads wider than the
+    whole array keep periodic semantics."""
+    n = x.shape[-1]
+    parts = []
+    for j in range(-(-pad // n), 0, -1):
+        perm = [(p, (p + j) % axis_size) for p in range(axis_size)]
+        width = pad - (j - 1) * n
+        seg = x if width >= n else x[..., n - width:]
+        parts.append(jax.lax.ppermute(seg, axis_name, perm))
+    return parts
+
+
+def _collect_right(x, pad, axis_name, axis_size):
+    """The ``pad`` samples following this shard's block (heads of the
+    right neighbors), nearest-first."""
+    n = x.shape[-1]
+    parts = []
+    for j in range(1, -(-pad // n) + 1):
+        perm = [(p, (p - j) % axis_size) for p in range(axis_size)]
+        width = pad - (j - 1) * n
+        seg = x if width >= n else x[..., :width]
+        parts.append(jax.lax.ppermute(seg, axis_name, perm))
+    return parts
 
 
 def halo_exchange_last(x, lpad, rpad, axis_name, axis_size):
     """Periodic halo exchange along the last axis of a sharded-by-last-axis
-    array: prepend the previous shard's last ``lpad`` samples and append
-    the next shard's first ``rpad`` samples.
-
-    With axis_size == 1 this degenerates to plain periodic padding.
+    array: prepend the ``lpad`` samples preceding this shard's block and
+    append the ``rpad`` samples following it.  Pads wider than one shard
+    gather from further neighbors with one ppermute per hop (the deep-SWT
+    dilation regime, SURVEY.md §7); with axis_size == 1 this degenerates
+    to plain periodic padding.
     """
     if axis_size == 1:
         return conv.periodic_pad_last(x, lpad, rpad)
-    n_local = x.shape[-1]
-    if max(lpad, rpad) > n_local:
-        raise ValueError(
-            f"halo ({lpad},{rpad}) exceeds local shard size {n_local}; "
-            "use fewer row-shards or fewer levels")
-    fwd, bwd = _ring_perms(axis_size)
-    parts = []
-    if lpad:
-        parts.append(jax.lax.ppermute(x[..., -lpad:], axis_name, fwd))
+    parts = _collect_left(x, lpad, axis_name, axis_size) if lpad else []
     parts.append(x)
     if rpad:
-        parts.append(jax.lax.ppermute(x[..., :rpad], axis_name, bwd))
+        parts.extend(_collect_right(x, rpad, axis_name, axis_size))
     return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else x
 
 
@@ -87,13 +115,91 @@ def _synthesis_rows_sharded(lo, hi, fb, axis_name, axis_size):
     return jnp.swapaxes(out, -1, -2)
 
 
+def _rows_before(x, pad, axis_name, axis_size):
+    """The ``pad`` rows (axis -2) preceding this shard's block, gathered
+    farthest-first with one ppermute per ring hop."""
+    n = x.shape[-2]
+    parts = []
+    for j in range(-(-pad // n), 0, -1):
+        perm = [(p, (p + j) % axis_size) for p in range(axis_size)]
+        width = pad - (j - 1) * n
+        seg = x if width >= n else x[..., n - width:, :]
+        parts.append(jax.lax.ppermute(seg, axis_name, perm))
+    return jnp.concatenate(parts, axis=-2) if len(parts) > 1 else parts[0]
+
+
+def _rows_after(x, pad, axis_name, axis_size):
+    """The ``pad`` rows (axis -2) following this shard's block."""
+    n = x.shape[-2]
+    parts = []
+    for j in range(1, -(-pad // n) + 1):
+        perm = [(p, (p - j) % axis_size) for p in range(axis_size)]
+        width = pad - (j - 1) * n
+        seg = x if width >= n else x[..., :width, :]
+        parts.append(jax.lax.ppermute(seg, axis_name, perm))
+    return jnp.concatenate(parts, axis=-2) if len(parts) > 1 else parts[0]
+
+
+def _fused_ok(x):
+    return _dwt._pallas_enabled() and x.dtype == jnp.float32
+
+
+def _call_maybe_vmapped(f, *args):
+    if args[0].ndim == 3:
+        return jax.vmap(f)(*args)
+    return f(*args)
+
+
+def _dwt2d_level_sharded(a, fb, axis_name, axis_size):
+    """One sharded separable analysis level; fused Pallas kernel with
+    ppermute edge halos where covered, jnp conv path otherwise."""
+    if axis_size == 1:
+        return _dwt.dwt2d(a, fb)  # locally periodic: wrapped kernels
+    if _fused_ok(a):
+        built = _pk().build_dwt2d_sharded(
+            a.shape[-2], a.shape[-1], _taps(fb.dec_lo), _taps(fb.dec_hi),
+            _pk()._interpret())
+        if built is not None:
+            f, hh = built
+            top = _rows_before(a, hh, axis_name, axis_size)
+            bot = _rows_after(a, hh, axis_name, axis_size)
+            return _call_maybe_vmapped(f, a, top, bot)
+    t1, t2 = conv.analysis_last(a, fb.dec_lo, fb.dec_hi)  # cols: local
+    a2, h = _analysis_rows_sharded(t1, fb, axis_name, axis_size)
+    v, d = _analysis_rows_sharded(t2, fb, axis_name, axis_size)
+    return a2, h, v, d
+
+
+def _idwt2d_level_sharded(a, h, v, d, fb, axis_name, axis_size):
+    """One sharded separable synthesis level."""
+    nr_out = 2 * a.shape[-2]
+    nc_out = 2 * a.shape[-1]
+    if axis_size == 1:
+        return _dwt.idwt2d(a, h, v, d, fb, (nr_out, nc_out))
+    if _fused_ok(a) and a.shape == h.shape == v.shape == d.shape:
+        built = _pk().build_idwt2d_sharded(
+            nr_out, nc_out, _taps(fb.rec_lo), _taps(fb.rec_hi),
+            _pk()._interpret())
+        if built is not None:
+            f, hh = built
+            halos = []
+            for p in (a, h, v, d):
+                halos.append(_rows_before(p, hh, axis_name, axis_size))
+                halos.append(_rows_after(p, hh, axis_name, axis_size))
+            if a.ndim == 3:
+                return jax.vmap(lambda a_, h_, v_, d_, *hs:
+                                f(a_, h_, v_, d_, hs))(a, h, v, d, *halos)
+            return f(a, h, v, d, tuple(halos))
+    t1 = _synthesis_rows_sharded(a, h, fb, axis_name, axis_size)
+    t2 = _synthesis_rows_sharded(v, d, fb, axis_name, axis_size)
+    return conv.synthesis_last(t1, t2, fb.rec_lo, fb.rec_hi, nc_out)
+
+
 def _local_wavedec2(x, fb, levels, axis_name, axis_size):
     a = x
     details = []
     for _ in range(levels):
-        t1, t2 = conv.analysis_last(a, fb.dec_lo, fb.dec_hi)  # cols: local
-        a, h = _analysis_rows_sharded(t1, fb, axis_name, axis_size)
-        v, d = _analysis_rows_sharded(t2, fb, axis_name, axis_size)
+        a, h, v, d = _dwt2d_level_sharded(a, fb, axis_name, axis_size)
         details.append((h, v, d))
     return [a] + details
 
@@ -103,10 +209,7 @@ def _local_waverec2(coeffs, fb, axis_name, axis_size):
     a = coeffs[0]
     for lev in range(levels, 0, -1):
         h, v, d = coeffs[lev]
-        t1 = _synthesis_rows_sharded(a, h, fb, axis_name, axis_size)
-        t2 = _synthesis_rows_sharded(v, d, fb, axis_name, axis_size)
-        n_out = 2 * t1.shape[-1]
-        a = conv.synthesis_last(t1, t2, fb.rec_lo, fb.rec_hi, n_out)
+        a = _idwt2d_level_sharded(a, h, v, d, fb, axis_name, axis_size)
     return a
 
 
@@ -135,7 +238,7 @@ def wavedec2_rowsharded(image, fb, levels, mesh):
 
     fn = shard_map(
         lambda x: _local_wavedec2(x, fb, levels, ROW_AXIS, n_rows),
-        mesh=mesh, in_specs=(spec,), out_specs=spec)
+        mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)
     return jax.jit(fn)(image)
 
 
@@ -146,7 +249,7 @@ def waverec2_rowsharded(coeffs, fb, mesh, batched=False):
             else P(ROW_AXIS, None))
     fn = shard_map(
         lambda c: _local_waverec2(c, fb, ROW_AXIS, n_rows),
-        mesh=mesh, in_specs=(spec,), out_specs=spec)
+        mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)
     return jax.jit(fn)(coeffs)
 
 
@@ -198,13 +301,52 @@ def _iswt_rows_sharded(lo, hi, fb, level, axis_name, axis_size):
     return jnp.swapaxes(out, -1, -2)
 
 
+def _swt2d_level_sharded(a, fb, lev, axis_name, axis_size):
+    if axis_size == 1:
+        return _swt.swt2d_level(a, fb, lev)
+    if _fused_ok(a):
+        built = _pk().build_swt2d_sharded(
+            a.shape[-2], a.shape[-1], _taps(fb.dec_lo), _taps(fb.dec_hi),
+            lev, _pk()._interpret())
+        if built is not None:
+            f, hh = built
+            top = _rows_before(a, hh, axis_name, axis_size)
+            bot = _rows_after(a, hh, axis_name, axis_size)
+            return _call_maybe_vmapped(f, a, top, bot)
+    t1, t2 = conv.swt_analysis_last(a, fb.dec_lo, fb.dec_hi, lev)
+    a2, h = _swt_rows_sharded(t1, fb, lev, axis_name, axis_size)
+    v, d = _swt_rows_sharded(t2, fb, lev, axis_name, axis_size)
+    return a2, h, v, d
+
+
+def _iswt2d_level_sharded(a, h, v, d, fb, lev, axis_name, axis_size):
+    if axis_size == 1:
+        return _swt.iswt2d_level(a, h, v, d, fb, lev)
+    if _fused_ok(a) and a.shape == h.shape == v.shape == d.shape:
+        built = _pk().build_iswt2d_sharded(
+            a.shape[-2], a.shape[-1], _taps(fb.rec_lo), _taps(fb.rec_hi),
+            lev, _pk()._interpret())
+        if built is not None:
+            f, hh = built
+            halos = []
+            for p in (a, h, v, d):
+                halos.append(_rows_before(p, hh, axis_name, axis_size))
+                halos.append(_rows_after(p, hh, axis_name, axis_size))
+            if a.ndim == 3:
+                return jax.vmap(lambda a_, h_, v_, d_, *hs:
+                                f(a_, h_, v_, d_, hs))(a, h, v, d, *halos)
+            return f(a, h, v, d, tuple(halos))
+    t1 = _iswt_rows_sharded(a, h, fb, lev, axis_name, axis_size)
+    t2 = _iswt_rows_sharded(v, d, fb, lev, axis_name, axis_size)
+    return conv.swt_synthesis_last(t1, t2, fb.rec_lo, fb.rec_hi, lev)
+
+
 def _local_swt2(x, fb, levels, axis_name, axis_size):
     a = x
     details = []
     for lev in range(1, levels + 1):
-        t1, t2 = conv.swt_analysis_last(a, fb.dec_lo, fb.dec_hi, lev)
-        a, h = _swt_rows_sharded(t1, fb, lev, axis_name, axis_size)
-        v, d = _swt_rows_sharded(t2, fb, lev, axis_name, axis_size)
+        a, h, v, d = _swt2d_level_sharded(a, fb, lev, axis_name,
+                                          axis_size)
         details.append((h, v, d))
     return [a] + details
 
@@ -214,9 +356,8 @@ def _local_iswt2(coeffs, fb, axis_name, axis_size):
     a = coeffs[0]
     for lev in range(levels, 0, -1):
         h, v, d = coeffs[lev]
-        t1 = _iswt_rows_sharded(a, h, fb, lev, axis_name, axis_size)
-        t2 = _iswt_rows_sharded(v, d, fb, lev, axis_name, axis_size)
-        a = conv.swt_synthesis_last(t1, t2, fb.rec_lo, fb.rec_hi, lev)
+        a = _iswt2d_level_sharded(a, h, v, d, fb, lev, axis_name,
+                                  axis_size)
     return a
 
 
@@ -227,7 +368,7 @@ def swt2d_rowsharded(image, fb, levels, mesh):
             else P(ROW_AXIS, None))
     fn = shard_map(
         lambda x: _local_swt2(x, fb, levels, ROW_AXIS, n_rows),
-        mesh=mesh, in_specs=(spec,), out_specs=spec)
+        mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)
     return jax.jit(fn)(image)
 
 
@@ -237,7 +378,7 @@ def iswt2d_rowsharded(coeffs, fb, mesh, batched=False):
             else P(ROW_AXIS, None))
     fn = shard_map(
         lambda c: _local_iswt2(c, fb, ROW_AXIS, n_rows),
-        mesh=mesh, in_specs=(spec,), out_specs=spec)
+        mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)
     return jax.jit(fn)(coeffs)
 
 
@@ -321,7 +462,7 @@ def wavedec2_gridsharded(image, fb, levels, mesh):
     spec = P(ROW_AXIS, COL_AXIS)
     fn = shard_map(
         lambda x: _local_wavedec2_grid(x, fb, levels, n_rows, n_cols),
-        mesh=mesh, in_specs=(spec,), out_specs=spec)
+        mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)
     return jax.jit(fn)(image)
 
 
@@ -331,7 +472,7 @@ def waverec2_gridsharded(coeffs, fb, mesh):
     spec = P(ROW_AXIS, COL_AXIS)
     fn = shard_map(
         lambda c: _local_waverec2_grid(c, fb, n_rows, n_cols),
-        mesh=mesh, in_specs=(spec,), out_specs=spec)
+        mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)
     return jax.jit(fn)(coeffs)
 
 
@@ -355,7 +496,7 @@ def wavedec1_seqsharded(x, fb, levels, mesh, axis_name=ROW_AXIS):
             details.append(dd)
         return [a] + details
 
-    fn = shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    fn = shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)
     return jax.jit(fn)(x)
 
 
@@ -373,5 +514,5 @@ def waverec1_seqsharded(coeffs, fb, mesh, axis_name=ROW_AXIS):
                                         n_shards)
         return a
 
-    fn = shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    fn = shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)
     return jax.jit(fn)(coeffs)

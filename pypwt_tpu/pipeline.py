@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from .filters import get_filter_bank
 from .core import dwt, haar, swt, thresh
-from .core.shapes import clamp_levels
+from .core.shapes import clamp_levels, div2
 
 
 def _fwd_inv(fb, levels, shape, do_swt):
@@ -81,11 +81,42 @@ def denoise2d_cycle_spinning(img, wname, levels, beta, key=None,
         pyr = th(pyr, beta, bool(threshold_appcoeffs), bool(normalize))
         return inv(pyr)
 
+    def spin_static(sr, sc):
+        """One spin with the static shift folded into the level-0 kernels
+        (no materialized rolls); None if the kernels decline."""
+        if (not dwt._pallas_enabled() or img.ndim != 2
+                or img.dtype != jnp.float32 or fb.hlen == 2):
+            return None  # haar/batched fall back to the roll path
+        from .ops import pallas_dwt as pk
+        c0 = pk.dwt2d_fused_shifted(img, fb, sr, sc)
+        if c0 is None:
+            return None
+        a, h0, v0, d0 = c0
+        details = [(h0, v0, d0)]
+        for _ in range(levels - 1):
+            a, h, v, d = dwt.dwt2d(a, fb)
+            details.append((h, v, d))
+        pyr = [a] + details
+        pyr = th(pyr, beta, bool(threshold_appcoeffs), bool(normalize))
+        sizes = [img.shape[-2:]]
+        for _ in range(levels):
+            sizes.append((div2(sizes[-1][0]),
+                          div2(sizes[-1][1])))
+        a = pyr[0]
+        for lev in range(levels, 1, -1):
+            hh, vv, dd = pyr[lev]
+            a = dwt.idwt2d(a, hh, vv, dd, fb, sizes[lev - 1])
+        hh, vv, dd = pyr[1]
+        return pk.idwt2d_fused_unshift(a, hh, vv, dd, fb, img.shape,
+                                       sr, sc)
+
     if shifts is not None:
         acc = None
         for (sr, sc) in shifts:
-            rec = spin(jnp.roll(img, (sr, sc), (-2, -1)))
-            rec = jnp.roll(rec, (-sr, -sc), (-2, -1))
+            rec = spin_static(int(sr) % nr, int(sc) % nc)
+            if rec is None:
+                rec = spin(jnp.roll(img, (sr, sc), (-2, -1)))
+                rec = jnp.roll(rec, (-sr, -sc), (-2, -1))
             acc = rec if acc is None else acc + rec
         return acc / len(shifts)
 

@@ -356,6 +356,10 @@ def _py_ckpt_read_header(fname):
     with open(fname, "rb") as f:
         hdr = f.read(_CKPT_HDR)
     if len(hdr) != _CKPT_HDR or hdr[:4] != b"PWTC":
+        if hdr[:2] == b"PK":
+            raise IOError(
+                f"{fname}: legacy .npz checkpoint (pre-PWTC format); "
+                "load it with numpy.load and re-save via save_checkpoint")
         raise IOError(f"{fname}: not a PWTC checkpoint")
     ver, ndim, nr, nc, levels, flags = np.frombuffer(
         hdr[4:28], np.int32)
@@ -416,7 +420,8 @@ def save_checkpoint(fname, W):
 def load_checkpoint(fname, img_dtype=None):
     """Rebuild a ``Wavelets`` plan from a checkpoint; its coefficients are
     restored and ``inverse()`` is ready to run.  The plan's dtype follows
-    the checkpoint (float64 plans round-trip as float64)."""
+    the checkpoint unless ``img_dtype`` is passed explicitly, in which
+    case the loaded planes are cast to it (lossy for f64 -> f32)."""
     from .api import Wavelets
     ndim, nr, nc, levels, flags, wname = _py_ckpt_read_header(fname)
     coeff_dtype = np.float64 if flags & _F_F64 else np.float32
@@ -444,12 +449,11 @@ def load_checkpoint(fname, img_dtype=None):
 
     do_swt = bool(flags & _F_SWT)
     batched = bool(flags & _F_BATCHED)
-    if img_dtype is None:
-        img_dtype = coeff_dtype
+    plan_dtype = coeff_dtype if img_dtype is None else np.dtype(img_dtype)
     img = np.zeros((nr, nc) if (ndim == 2 or batched) else (nc,),
-                   dtype=img_dtype)
+                   dtype=plan_dtype)
     W = Wavelets(img, wname, levels, do_swt=int(do_swt),
-                 ndim=1 if batched else ndim, dtype=coeff_dtype)
+                 ndim=1 if batched else ndim, dtype=plan_dtype)
     for num, p in enumerate(planes):
         ref_shape = np.shape(W._coeff_ref(num))
         W.set_coeff(p.reshape(ref_shape), num)

@@ -114,12 +114,34 @@ def test_rowsharded_rejects_bad_divisibility():
             jnp.zeros((100, 64)), fb, 2, m)
 
 
-def test_halo_exceeding_shard_raises():
-    fb = get_filter_bank("db20")  # hlen=40: halo 20+ rows
+def test_halo_exceeding_shard_multihop():
+    # db20 (hlen=40): halo 20+ rows on 16-row shards -> 2-hop exchange
+    fb = get_filter_bank("db20")
     m = pmesh.make_mesh(n_data=1, n_rows=8)
-    img = jnp.zeros((128, 64))  # 16 rows per shard < halo
-    with pytest.raises(ValueError):
-        spatial.wavedec2_rowsharded(img, fb, 1, m)
+    img = jnp.asarray(RNG.standard_normal((128, 64)))
+    pyr = spatial.wavedec2_rowsharded(img, fb, 1, m)
+    ref = jax.jit(lambda x: dwt.wavedec2(x, fb, 1))(img)
+    for a, b in zip(jax.tree.leaves(pyr), jax.tree.leaves(ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-12)
+    y = spatial.waverec2_rowsharded(pyr, fb, m)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(img), atol=1e-10)
+
+
+def test_rowsharded_deep_swt_multihop():
+    # L4 SWT of a 128-row image on 8 row-shards (16 rows each): the db3
+    # level-4 dilation needs halos of (16, 24) rows -> multi-hop ppermute
+    # (the deep-level regime SURVEY.md §7 flags)
+    fb = get_filter_bank("db3")
+    m = pmesh.make_mesh(n_data=1, n_rows=8)
+    img = jnp.asarray(RNG.standard_normal((128, 128)))
+    pyr = spatial.swt2d_rowsharded(img, fb, 4, m)
+    ref = jax.jit(lambda x: swt.swt2d(x, fb, 4))(img)
+    for a, b in zip(jax.tree.leaves(pyr), jax.tree.leaves(ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-11)
+    y = spatial.iswt2d_rowsharded(pyr, fb, m)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(img), atol=1e-9)
 
 
 def test_graft_entry_dryrun():

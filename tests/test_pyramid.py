@@ -28,8 +28,10 @@ def test_pyramid_analysis_matches_jnp(wname, shape, levels):
     fb = get_filter_bank(wname)
     x = _rand(shape)
     dwt.set_kernels("jnp")
-    want = dwt.wavedec2(x, fb, levels)
-    dwt.set_kernels("auto")
+    try:
+        want = dwt.wavedec2(x, fb, levels)
+    finally:
+        dwt.set_kernels("auto")
     got = fp.wavedec2_pyramid(x, fb, levels)
     if got is None:
         pytest.skip("config not covered by pyramid kernel")

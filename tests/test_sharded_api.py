@@ -1,0 +1,144 @@
+"""ShardedWavelets (single-image row-sharded plan) and the extended
+BatchedWavelets surface (batched-1D mode, custom banks, cycle spinning)
+on the simulated 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from pypwt_tpu import Wavelets, get_filter_bank
+from pypwt_tpu.parallel import (BatchedWavelets, ShardedWavelets,
+                                mesh as pmesh)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 simulated devices")
+
+
+def _img(nr=128, nc=64, seed=0):
+    return np.random.default_rng(seed).random((nr, nc)).astype(np.float32)
+
+
+def _mesh_rows(n):
+    return pmesh.make_mesh(n_data=1, n_rows=n)
+
+
+def test_sharded_matches_single_plan():
+    img = _img()
+    SW = ShardedWavelets(img, "db3", 2, mesh=_mesh_rows(8))
+    SW.forward()
+    W = Wavelets(img, "db3", 2)
+    W.forward()
+    for num in range(7):
+        np.testing.assert_allclose(SW.coeff_only(num), W.coeff_only(num),
+                                   atol=1e-5)
+    SW.soft_threshold(0.1)
+    W.soft_threshold(0.1)
+    assert abs(SW.norm1() - W.norm1()) / W.norm1() < 1e-5
+    assert abs(SW.norm2sq() - W.norm2sq()) / max(W.norm2sq(), 1e-9) < 1e-5
+    SW.inverse()
+    W.inverse()
+    np.testing.assert_allclose(SW.image, W.image, atol=1e-5)
+
+
+def test_sharded_swt_roundtrip():
+    img = _img(64, 64)
+    SW = ShardedWavelets(img, "db2", 3, do_swt=1, mesh=_mesh_rows(4))
+    SW.forward()
+    SW.inverse()
+    np.testing.assert_allclose(SW.image, img, atol=1e-5)
+
+
+def test_sharded_denoise_and_spins():
+    img = _img()
+    SW = ShardedWavelets(img, "db2", 2, mesh=_mesh_rows(8), seed=7)
+    SW.denoise(0.05)
+    out1 = SW.image
+    assert out1.shape == img.shape
+    SW.set_image(img)
+    SW.denoise(0.05, spins=3)
+    assert SW.image.shape == img.shape
+    # spinning averages different shifts -> differs from the plain step
+    assert np.abs(SW.image - out1).max() > 0
+
+
+def test_sharded_cycle_spinning_roundtrip():
+    img = _img()
+    SW = ShardedWavelets(img, "db2", 2, do_cycle_spinning=1,
+                         mesh=_mesh_rows(8), seed=3)
+    SW.forward()
+    assert SW.current_shift != (0, 0)
+    SW.inverse()
+    np.testing.assert_allclose(SW.image, img, atol=1e-5)
+
+
+def test_sharded_set_coeff_and_guards():
+    img = _img()
+    SW = ShardedWavelets(img, "db2", 1, mesh=_mesh_rows(8))
+    with pytest.raises(RuntimeError):
+        SW.norm1()
+    SW.forward()
+    z = np.zeros_like(SW.coeff_only(3))
+    SW.set_coeff(z, 3, check=True)
+    assert np.abs(SW.coeff_only(3)).max() == 0
+    with pytest.raises(ValueError):
+        SW.set_coeff(np.zeros((3, 3), np.float32), 1, check=True)
+
+
+def test_sharded_rejects_bad_geometry():
+    with pytest.raises(ValueError):
+        ShardedWavelets(_img(100, 64), "db2", 2, mesh=_mesh_rows(8))
+    with pytest.raises(ValueError):
+        ShardedWavelets(np.zeros((4, 32, 32), np.float32), "db2", 1)
+
+
+# ---------------------------------------------------------------------------
+# BatchedWavelets extensions
+# ---------------------------------------------------------------------------
+
+def test_batched_1d_mode_matches_single_plan():
+    stack = np.random.default_rng(1).random((8, 16, 64)).astype(np.float32)
+    m = pmesh.make_mesh(n_data=8, n_rows=1)
+    BW = BatchedWavelets(stack, "db2", 2, mesh=m, ndim=1)
+    BW.forward()
+    W = Wavelets(stack[5], "db2", 2, ndim=1)  # reference batched-1D
+    W.forward()
+    for num in range(3):
+        np.testing.assert_allclose(BW.coeff_only(num)[5],
+                                   W.coeff_only(num), atol=1e-5)
+    BW.inverse()
+    np.testing.assert_allclose(BW.image, stack, atol=1e-5)
+
+
+def test_batched_custom_bank_matches_builtin():
+    stack = np.random.default_rng(2).random((8, 32, 32)).astype(np.float32)
+    m = pmesh.make_mesh(n_data=8, n_rows=1)
+    fb = get_filter_bank("db4")
+    BW = BatchedWavelets(stack, "db2", 2, mesh=m)
+    BW.set_wavelets_filters("custom-db4", fb.dec_lo, fb.dec_hi,
+                            fb.rec_lo, fb.rec_hi)
+    BW.forward()
+    ref = BatchedWavelets(stack, "db4", 2, mesh=m)
+    ref.forward()
+    for num in range(7):
+        np.testing.assert_allclose(BW.coeff_only(num),
+                                   ref.coeff_only(num), atol=1e-6)
+
+
+def test_batched_cycle_spinning_roundtrip():
+    stack = np.random.default_rng(3).random((8, 32, 32)).astype(np.float32)
+    m = pmesh.make_mesh(n_data=8, n_rows=1)
+    BW = BatchedWavelets(stack, "db2", 2, mesh=m, do_cycle_spinning=1,
+                         seed=11)
+    BW.forward()
+    assert BW.current_shift != (0, 0)
+    BW.inverse()
+    np.testing.assert_allclose(BW.image, stack, atol=1e-5)
+
+
+def test_batched_1d_denoise_step():
+    stack = np.random.default_rng(4).random((8, 8, 64)).astype(np.float32)
+    m = pmesh.make_mesh(n_data=8, n_rows=1)
+    BW = BatchedWavelets(stack, "db3", 2, mesh=m, ndim=1)
+    BW.denoise(0.05)
+    assert BW.image.shape == stack.shape

@@ -65,7 +65,8 @@ def main():
     results = []
     failed = []
 
-    def record(name, time_thunk, err_thunk, gate=GATE, frames=1):
+    def record(name, time_thunk, err_thunk, gate=GATE, frames=1,
+               min_bytes=None):
         """Correctness first, then timing: the remote compile helper is
         flaky on very large scan programs (SIGKILL observed for the
         4Mi-sample chained scan) — a timing-compile failure must not
@@ -78,6 +79,8 @@ def main():
             seconds = time_thunk()
             row["time_us"] = round(seconds * 1e6, 2)
             row["throughput_fps"] = round(frames / seconds, 1)
+            if min_bytes is not None:
+                row["effective_gbps"] = round(min_bytes / seconds / 1e9, 1)
         except Exception as e:  # compile-relay flake: record, continue
             row["time_us"] = None
             row["timing_error"] = f"{type(e).__name__}"
@@ -94,14 +97,20 @@ def main():
         scalar is read back."""
         return float(jax.jit(lambda v: jnp.abs(rt(v) - v).max())(x0))
 
-    sizes = [512, 2048] if args.quick else [128, 256, 512, 1024, 2048]
+    sizes = ([512, 2048] if args.quick
+             else [128, 256, 512, 1024, 2048, 4096])
     fb = get_filter_bank("db2")
     for n in sizes:
         x0 = make_inputs((n, n))[0] * SCALE
         rt = lambda v: dwt.waverec2(dwt.wavedec2(v, fb, 3), fb, (n, n))
+        # roofline annotation: minimal HBM traffic of the roundtrip is
+        # ~2x(4/3) x N x 4 B each way (per-level planes shrink 4x), so
+        # effective_gbps ~= 2 x 2 x (4/3) x N x 4 / t; the measured
+        # streaming ceiling on this chip is ~670 GB/s (doc/performance.md)
+        min_bytes = int(2 * 2 * (4 / 3) * n * n * 4)
         record(f"dwt2d_roundtrip_db2_L3_{n}",
                lambda: timeit_chained(rt, x0, iters=iters),
-               lambda: rt_err(rt, x0))
+               lambda: rt_err(rt, x0), min_bytes=min_bytes)
 
     n = 2048
     x0 = make_inputs((n, n))[0] * SCALE
@@ -154,12 +163,13 @@ def main():
            lambda: timeit_chained(cyc_s, x0, iters=max(16, iters // 4)),
            lambda: rt_err(rt_plain, x0))
 
-    # batched 1D
+    # batched 1D (roofline: per-level traffic halves, sum = 2x2x2xNx4 B)
     b0 = make_inputs((2048, 4096))[0] * SCALE
     rt1 = lambda v: dwt.waverec1(dwt.wavedec1(v, fb, 3), fb, 4096)
     record("dwt1d_batched2048_roundtrip_db2_L3_4096",
            lambda: timeit_chained(rt1, b0, iters=max(16, iters // 4)),
-           lambda: rt_err(rt1, b0))
+           lambda: rt_err(rt1, b0),
+           min_bytes=int(2 * 2 * 2 * 2048 * 4096 * 4))
 
     # batched frame stack (per-frame throughput)
     if not args.quick:
@@ -205,6 +215,49 @@ def main():
         record("nonsep_true2d_db3xcoif1_roundtrip_L3_2048",
                lambda: timeit_chained(rtn, x0, iters=max(16, iters // 4)),
                lambda: rt_err(rtn, x0))
+
+        # rank-6 dense 2D bank: mixes three separable PR banks, so every
+        # subband filter has 2D rank ~6 (above the old SVD cap).  Perfect
+        # reconstruction does not hold for an arbitrary mixture, so the
+        # gate is the DIFFERENTIAL of the dispatched kernels against the
+        # jnp slice/conv fallback (VERDICT r2 missing #3: record the
+        # rank>4 path's cost with a correctness gate)
+        rng6 = np.random.default_rng(6)
+        banks = [get_filter_bank(w)
+                 for w in ("db3", "sym4", "coif1", "db2", "sym5", "db4")]
+        mix = rng6.dirichlet(np.ones(len(banks)))
+        W6 = 10  # pad every 1D filter to the longest (sym5)
+        dec6, rec6 = [], []
+        for lo_r, hi_r in (("dec_lo", "dec_lo"), ("dec_hi", "dec_lo"),
+                           ("dec_lo", "dec_hi"), ("dec_hi", "dec_hi")):
+            F = sum(w * np.outer(
+                        np.pad(getattr(b, lo_r),
+                               (0, W6 - len(getattr(b, lo_r)))),
+                        np.pad(getattr(b, hi_r),
+                               (0, W6 - len(getattr(b, hi_r)))))
+                    for w, b in zip(mix, banks))
+            dec6.append(F)
+            rec6.append(F[::-1, ::-1].copy())
+        f2d6 = ns.Filters2D(dec6, rec6, name="rank6mix")
+        from pypwt_tpu.ops import nonsep_pallas as nsk
+        r6 = max(len(nsk.svd_terms(F, max_terms=64)) for F in dec6)
+        fwd6 = lambda v: ns.ns_wavedec2(v, f2d6, 2)
+
+        def diff6():
+            got = jax.jit(fwd6)(x0)
+            dwt.set_kernels("jnp")
+            try:
+                want = jax.jit(lambda v: ns.ns_wavedec2(v, f2d6, 2))(x0)
+            finally:
+                dwt.set_kernels("auto")
+            return float(jax.jit(lambda a, b: jnp.asarray(
+                [jnp.abs(p - q).max() for p, q in
+                 zip(jax.tree.leaves(a), jax.tree.leaves(b))]).max())(
+                     got, want))
+
+        record(f"nonsep_rank{r6}_dense_fwd_L2_2048",
+               lambda: timeit_chained(fwd6, x0, iters=max(16, iters // 4)),
+               diff6, gate=1e-3 * SCALE)
 
     if args.out:
         with open(args.out, "a") as f:

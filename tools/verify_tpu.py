@@ -1,20 +1,24 @@
 """On-device correctness matrix: every wavelet x every transform mode.
 
 The reference proves correctness ON THE DEVICE with a full sweep
-(test/test_all.py over test/test_wavelets.py:655-688: all wavelets x
-{DWT2, DWT1(batched), SWT2, SWT1} x levels).  The CPU pytest suite here
-runs the Pallas kernels in interpret mode only, so this tool is the
-native-Mosaic equivalent: on the real TPU it runs all 72 filter banks
-through {dwt2d, swt2d, batched-1d dwt, long-1d} roundtrips — which
-exercises every kernel family (VPU tap loops, banded MXU dots, fused
-SWT, folded long-1D) at dispatch-selected routing — records the
-max-abs roundtrip error against the reference envelope
-(3e-4 * 2**levels * data_scale, test_wavelets.py:100-103), and also
-cross-checks the kernel outputs against the jnp oracle path for a
-sample of banks.
+(test/test_all.py over test/test_wavelets.py:655-688) comparing every
+forward subband at every level against pywt (:234-255), plus roundtrips.
+This tool is that sweep for the TPU build, with the independent
+FFT-domain oracle (tests/fft_oracle.py) in pywt's role:
 
-Emits one JSON line per (wavelet, mode); exits non-zero on any gate
-failure.  Committed per round as VERIFY_TPU_r{N}.jsonl.
+* roundtrips: all 72 banks x {dwt2d, swt2d, batched-1d, long-1d} at
+  dispatch-selected kernel routing (VPU tap loops, banded MXU, fused SWT,
+  folded long-1D) — max-abs error under the reference envelope
+  (3e-4 * 2**levels * data_scale, test_wavelets.py:100-103).
+* forward differentials: for the same banks x modes, every forward
+  subband at every level of the DISPATCHED kernels is compared against
+  the spectral float64 oracle computed on the host (uploaded once,
+  diffed inside one jit per config, scalar readback only).
+* forced-MXU and non-separable (outer-product) forward differentials for
+  a representative subset.
+
+Emits one JSON line per check; exits non-zero on any gate failure.
+Committed per round as VERIFY_TPU_r{N}.jsonl.
 
 Usage: python tools/verify_tpu.py [--quick] [--out VERIFY_TPU.jsonl]
 """
@@ -25,10 +29,15 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                os.pardir))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(_HERE, os.pardir))
+sys.path.insert(0, os.path.join(_HERE, os.pardir, "tests"))
 
 SCALE = 255.0
+
+# representative subset spanning families, parities, and widths
+SUBSET = ["haar", "db2", "db8", "sym8", "coif3", "bior4.4", "rbio3.5",
+          "db10"]
 
 
 def main():
@@ -47,22 +56,29 @@ def main():
     from pypwt_tpu.utils import profiling
     from pypwt_tpu.filters import get_filter_bank, wavelist
     from pypwt_tpu.core import dwt, swt, shapes
+    from pypwt_tpu.core import nonsep as ns
+    import fft_oracle as fo
 
     if jax.default_backend() == "tpu":
         profiling.enable_compile_cache(os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), os.pardir,
-            ".jax_cache_tpu"))
+            _HERE, os.pardir, ".jax_cache_tpu"))
 
     dev = jax.devices()[0].device_kind
     backend = jax.default_backend()
-    names = (["haar", "db2", "db8", "sym8", "coif3", "bior4.4", "rbio3.5",
-              "db10"] if args.quick else wavelist())
+    names = SUBSET if args.quick else wavelist()
 
     n = args.size
+    nf = 256  # forward-differential size (bounds host FFT + upload cost)
     rng = np.random.default_rng(42)
     x2 = jnp.asarray(rng.random((n, n), dtype=np.float32) * SCALE)
-    xb = jnp.asarray(rng.random((256, 1024), dtype=np.float32) * SCALE)
-    xl = jnp.asarray(rng.random(1 << 18, dtype=np.float32) * SCALE)
+    xf_host = rng.random((nf, nf)).astype(np.float32) * SCALE
+    xf = jnp.asarray(xf_host)
+    xb_host = rng.random((64, 512)).astype(np.float32) * SCALE
+    xb = jnp.asarray(xb_host)
+    xbig_host = rng.random((256, 1024)).astype(np.float32) * SCALE
+    xbig = jnp.asarray(xbig_host)
+    xl_host = rng.random(1 << 18).astype(np.float32) * SCALE
+    xl = jnp.asarray(xl_host)
 
     rows, failed = [], []
 
@@ -86,6 +102,18 @@ def main():
         return float(jax.jit(
             lambda v: jnp.abs(rt(v) - v).max())(x0))
 
+    _tree_diff = jax.jit(lambda a, b: jnp.asarray(
+        [jnp.abs(x - y.astype(x.dtype)).max() for x, y in
+         zip(jax.tree.leaves(a), jax.tree.leaves(b))]).max())
+
+    def fwd_err(fwd, x0, oracle_tree):
+        """Max-abs over all subbands of dispatched-forward vs the host
+        float64 oracle (uploaded, diffed on device, scalar readback)."""
+        want = jax.tree.map(lambda w: jnp.asarray(w, dtype=jnp.float32),
+                            oracle_tree)
+        got = jax.jit(fwd)(x0)
+        return float(_tree_diff(got, want))
+
     t_start = time.time()
     for wname in names:
         fb = get_filter_bank(wname)
@@ -93,6 +121,7 @@ def main():
                  shapes.clamp_levels(args.levels, (n, n), fb.hlen, 2))
         gate = 3e-4 * (1 << lv) * SCALE
 
+        # ---- roundtrips at dispatch-selected routing (as round 2) ----
         record(wname, f"dwt2d_L{lv}",
                rt_err(lambda v, fb=fb, lv=lv: dwt.waverec2(
                    dwt.wavedec2(v, fb, lv), fb, (n, n)), x2), gate)
@@ -105,7 +134,7 @@ def main():
 
         record(wname, "dwt1d_batched_L2",
                rt_err(lambda v, fb=fb: dwt.waverec1(
-                   dwt.wavedec1(v, fb, 2), fb, 1024), xb),
+                   dwt.wavedec1(v, fb, 2), fb, 1024), xbig),
                3e-4 * 4 * SCALE)
 
         record(wname, "dwt1d_long_L3",
@@ -113,20 +142,53 @@ def main():
                    dwt.wavedec1(v, fb, 3), fb, 1 << 18), xl),
                3e-4 * 8 * SCALE)
 
-    # differential: dispatch-selected kernels vs the pure-jnp oracle path
-    for wname in ("db2", "sym8", "bior4.4"):
+        # ---- forward subbands vs the independent FFT oracle ----
+        flv = min(2, lv)
+        fgate = 3e-4 * (1 << flv) * SCALE
+        record(wname, f"fwd_dwt2d_L{flv}_vs_oracle",
+               fwd_err(lambda v, fb=fb, flv=flv: dwt.wavedec2(v, fb, flv),
+                       xf, fo.fft_wavedec2(xf_host, fb, flv)), fgate)
+
+        record(wname, f"fwd_swt2d_L{flv}_vs_oracle",
+               fwd_err(lambda v, fb=fb, flv=flv: swt.swt2d(v, fb, flv),
+                       xf, fo.fft_swt2d(xf_host, fb, flv)), fgate)
+
+        record(wname, "fwd_dwt1d_batched_L2_vs_oracle",
+               fwd_err(lambda v, fb=fb: dwt.wavedec1(v, fb, 2),
+                       xb, fo.fft_wavedec1(xb_host, fb, 2)),
+               3e-4 * 4 * SCALE)
+
+        record(wname, "fwd_dwt1d_long_L2_vs_oracle",
+               fwd_err(lambda v, fb=fb: dwt.wavedec1(v, fb, 2),
+                       xl, fo.fft_wavedec1(xl_host, fb, 2)),
+               3e-4 * 4 * SCALE)
+
+    # ---- forced-MXU forward differentials (wide + narrow banks) ----
+    for wname in ("db2", "db4", "sym8", "coif3", "db10"):
+        if args.quick and wname not in SUBSET:
+            continue
         fb = get_filter_bank(wname)
-        got = jax.jit(lambda v, fb=fb: dwt.wavedec2(v, fb, 3))(x2)
-        dwt.set_kernels("jnp")
+        dwt.set_kernels("mxu")
         try:
-            want = jax.jit(lambda v, fb=fb: dwt.wavedec2(v, fb, 3))(x2)
+            err = fwd_err(lambda v, fb=fb: dwt.wavedec2(v, fb, 2),
+                          xf, fo.fft_wavedec2(xf_host, fb, 2))
         finally:
             dwt.set_kernels("auto")
-        diff = float(jax.jit(lambda a, b: jnp.asarray(
-            [jnp.abs(x - y).max() for x, y in
-             zip(jax.tree.leaves(a), jax.tree.leaves(b))]).max())(
-                 got, want))
-        record(wname, "kernel_vs_jnp_dwt2d_L3", diff, 3e-3 * SCALE)
+        record(wname, "fwd_dwt2d_L2_mxu_vs_oracle", err,
+               3e-4 * 4 * SCALE)
+
+    # ---- non-separable (outer-product bank == separable oracle) ----
+    for wname in ("db3", "bior4.4"):
+        fb = get_filter_bank(wname)
+        f2d = ns.Filters2D.from_bank(fb)
+        record(wname, "fwd_nsdwt2d_L2_vs_oracle",
+               fwd_err(lambda v, f2d=f2d: ns.ns_wavedec2(v, f2d, 2),
+                       xf, fo.fft_wavedec2(xf_host, fb, 2)),
+               3e-4 * 4 * SCALE)
+        record(wname, "fwd_nsswt2d_L2_vs_oracle",
+               fwd_err(lambda v, f2d=f2d: ns.ns_swt2d(v, f2d, 2),
+                       xf, fo.fft_swt2d(xf_host, fb, 2)),
+               3e-4 * 4 * SCALE)
 
     elapsed = time.time() - t_start
     print(f"\n{len(rows)} checks in {elapsed:.0f}s on {dev} ({backend}); "
