@@ -25,6 +25,7 @@ from .version import __version__  # noqa: F401
 from .core import conv, dwt, haar, nonsep, shapes, swt, thresh  # noqa: F401
 from . import runtime  # noqa: F401  (native planner/IO/loader/checkpoint)
 from . import pipeline  # noqa: F401  (compiled denoise pipelines)
+from . import compat  # noqa: F401  (pywt-style functional surface)
 
 __all__ = [
     "Wavelets",

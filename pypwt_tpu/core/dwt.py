@@ -175,8 +175,55 @@ def idwt2d(a, h, v, d, fb, out_shape):
     return conv.synthesis_last(t1, t2, fb.rec_lo, fb.rec_hi, nc)
 
 
+# Tail-level fusion: keep level 0 as the optimal standalone kernel and
+# run levels 2..L (inputs <= half size) as ONE fused-pyramid kernel —
+# distinct from ops/fused_pyramid's all-levels mode, which lost to
+# pipelining at level 0 (doc/performance.md).  Off until measured faster
+# on hardware; enable with PYPWT_TAIL_FUSE=1.
+_TAIL_FUSE = os.environ.get("PYPWT_TAIL_FUSE", "0") == "1"
+
+
+def set_tail_fuse(on: bool):
+    global _TAIL_FUSE
+    _TAIL_FUSE = bool(on)
+
+
+def wavedec2_tailfused(image, fb, levels: int):
+    """Level 0 standalone + levels 2..L in one pyramid kernel; None if
+    uncovered."""
+    if levels < 3 or not _pallas_enabled():
+        return None
+    from ..ops import fused_pyramid as fp
+    lvl0 = dwt2d(image, fb)
+    a0, h0, v0, d0 = lvl0
+    tail = fp.wavedec2_pyramid(a0, fb, levels - 1)
+    if tail is None:
+        return None
+    return [tail[0], (h0, v0, d0)] + tail[1:]
+
+
+def waverec2_tailfused(coeffs, fb, shape):
+    """Inverse of ``wavedec2_tailfused``: levels L..2 in one pyramid
+    kernel, level 0 standalone; None if uncovered."""
+    levels = len(coeffs) - 1
+    if levels < 3 or not _pallas_enabled():
+        return None
+    from ..ops import fused_pyramid as fp
+    h0, v0, d0 = coeffs[1]
+    a0_shape = coeffs[1][0].shape[-2:]
+    a1 = fp.waverec2_pyramid([coeffs[0]] + list(coeffs[2:]), fb,
+                             a0_shape)
+    if a1 is None:
+        return None
+    return idwt2d(a1, h0, v0, d0, fb, shape)
+
+
 def wavedec2(image, fb, levels: int):
     """Multi-level separable 2D forward transform -> pyramid list."""
+    if _TAIL_FUSE:
+        r = wavedec2_tailfused(image, fb, levels)
+        if r is not None:
+            return r
     a = image
     details = []
     for _ in range(levels):
@@ -188,6 +235,10 @@ def wavedec2(image, fb, levels: int):
 def waverec2(coeffs, fb, shape):
     """Multi-level separable 2D inverse.  ``shape`` is the original image
     shape; per-level output sizes follow the div2 chain (wt.cu:332-342)."""
+    if _TAIL_FUSE:
+        r = waverec2_tailfused(coeffs, fb, shape)
+        if r is not None:
+            return r
     levels = len(coeffs) - 1
     sizes = [tuple(shape[-2:])]
     for _ in range(levels):

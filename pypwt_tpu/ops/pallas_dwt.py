@@ -425,75 +425,95 @@ def _analysis_cols_shifted(t, flo, fhi, lpad, rpad, sc):
     return lo.T, hi.T
 
 
-def _dwt2d_shifted_kernel(flo, fhi, lpr, rpr, lpc, rpc, ib, off_r, sc,
-                          b0_ref, b1_ref, b2_ref,
-                          a_ref, h_ref, v_ref, d_ref):
-    rows3 = jnp.concatenate([b0_ref[:, :], b1_ref[:, :], b2_ref[:, :]],
-                            axis=0)
-    rows = rows3[off_r: off_r + lpr + ib + rpr, :]
+def _apply_thresh(x, beta, mode):
+    if mode == "soft":
+        return jnp.sign(x) * jnp.maximum(jnp.abs(x) - beta, 0)
+    if mode == "hard":
+        return jnp.where(jnp.abs(x) > beta, x, jnp.zeros_like(x))
+    return x
+
+
+def _dwt2d_shifted_kernel(flo, fhi, lpr, rpr, lpc, rpc, ib, hh, sr, sc,
+                          mode, refs):
+    if mode is None:
+        (top_ref, body_ref, bot_ref, a_ref, h_ref, v_ref, d_ref) = refs
+        beta = None
+    else:
+        (top_ref, body_ref, bot_ref, beta_ref,
+         a_ref, h_ref, v_ref, d_ref) = refs
+        beta = beta_ref[0, 0]
+    # the shifted window [i*ib - lp - sr, ... + lp + ib + rp) sits inside
+    # top|body|bot because sr <= hh - lp (builder gate): same HBM traffic
+    # as the unshifted kernel, the shift is a static VMEM slice offset
+    full = jnp.concatenate([top_ref[:, :], body_ref[:, :],
+                            bot_ref[:, :]], axis=0)
+    rows = full[hh - lpr - sr: hh - lpr - sr + lpr + ib + rpr, :]
     lo_r, hi_r = _analysis_sub(rows, flo, fhi, ib // 2)
     a, v = _analysis_cols_shifted(lo_r, flo, fhi, lpc, rpc, sc)
     h, d = _analysis_cols_shifted(hi_r, flo, fhi, lpc, rpc, sc)
     a_ref[:, :] = a
-    h_ref[:, :] = h
-    v_ref[:, :] = v
-    d_ref[:, :] = d
+    h_ref[:, :] = _apply_thresh(h, beta, mode)
+    v_ref[:, :] = _apply_thresh(v, beta, mode)
+    d_ref[:, :] = _apply_thresh(d, beta, mode)
 
 
 @functools.lru_cache(maxsize=512)
-def _build_dwt2d_shifted(nr, nc, flo, fhi, sr, sc, interpret):
+def _build_dwt2d_shifted(nr, nc, flo, fhi, sr, sc, mode, interpret):
     hlen = len(flo)
     if hlen % 2 or nr % 2 or nc % 2:
         return None
     lp, rp = conv.analysis_pads(hlen)
-    # 3 body-sized input blocks live at once: budget accordingly
-    bands = _pick_bands(nr, nc, lp, rp, n_bufs=7, max_body=512)
+    # halo must cover the pads PLUS the row shift (callers reduce sr mod
+    # 2^levels, so 8..32-row halos cover every useful spin shift)
+    bands = _pick_bands(nr, nc, lp + sr, rp, n_bufs=5, max_body=1024,
+                        budget=52 * 1024 * 1024)
     if bands is None:
         return None
-    ib, _ = bands
-    if lp + rp > ib:
+    ib, hh = bands
+    if sr > hh - lp:
         return None
-    g = nr // ib
-    # window of x rows [i*ib - lp - sr, ...) starts inside block
-    # floor(A/ib) at static offset A mod ib (constant across i)
-    off_r = (-lp - sr) % ib
-
-    def blk(k):
-        return pl.BlockSpec(
-            (ib, nc),
-            lambda i, k=k: (
-                ((((i * ib - lp - sr) % (g * ib)) // ib) + k) % g, 0),
-            memory_space=pltpu.VMEM)
-
+    top, body, bot = _halo_specs(ib, hh, nr, nc)
+    in_specs = [top, body, bot]
+    if mode is not None:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.SMEM))
     out_spec = pl.BlockSpec((ib // 2, nc // 2), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_sds = jax.ShapeDtypeStruct((nr // 2, nc // 2), jnp.float32)
     kern = functools.partial(_dwt2d_shifted_kernel, flo, fhi, lp, rp,
-                             lp, rp, ib, off_r, sc % nc)
+                             lp, rp, ib, hh, sr, sc % nc, mode)
     call = pl.pallas_call(
-        kern, grid=(g,), in_specs=[blk(0), blk(1), blk(2)],
+        lambda *refs: kern(refs), grid=(nr // ib,), in_specs=in_specs,
         out_specs=[out_spec] * 4, out_shape=[out_sds] * 4,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret)
 
-    def fused(x):
-        return call(x, x, x)
+    if mode is None:
+        return lambda x: call(x, x, x)
+    return lambda x, beta: call(
+        x, x, x, jnp.reshape(jnp.asarray(beta, jnp.float32), (1, 1)))
 
-    return fused
 
-
-def dwt2d_fused_shifted(x, fb, sr, sc):
+def dwt2d_fused_shifted(x, fb, sr, sc, thresh_mode=None, beta=None):
     """One fused analysis level of roll(x, (sr, sc), (-2, -1)) without
-    materializing the roll; None if uncovered."""
+    materializing the roll; with ``thresh_mode`` ("soft"/"hard") the
+    detail subbands are thresholded by traced ``beta`` in-kernel before
+    the store (the cycle-spin denoise epilogue).  None if uncovered
+    (callers should reduce sr mod 2^levels first — the periodized
+    pyramid is invariant to larger shifts, and small shifts ride the
+    standard halo blocks)."""
     if x.ndim != 2 or x.dtype != jnp.float32:
         return None
     f = _build_dwt2d_shifted(x.shape[0], x.shape[1], _taps(fb.dec_lo),
                              _taps(fb.dec_hi), int(sr) % x.shape[0],
-                             int(sc) % x.shape[1], _interpret())
+                             int(sc) % x.shape[1], thresh_mode,
+                             _interpret())
     if f is None:
         return None
-    return tuple(f(x))
+    if thresh_mode is None:
+        return tuple(f(x))
+    return tuple(f(x, beta))
 
 
 def _synthesis_cols_unshift(lo, hi, flo, fhi, lpad, rpad, n_out, sc):
@@ -506,32 +526,50 @@ def _synthesis_cols_unshift(lo, hi, flo, fhi, lpad, rpad, n_out, sc):
     return jnp.concatenate([out[:, s:], out[:, :s]], axis=1)
 
 
-def _idwt2d_shifted_kernel(flo, fhi, lpr, rpr, lpc, rpc, tcb, nc_out,
-                           off_c, par, sc, refs):
-    (a0, a1, a2, a3, h0, h1, h2, h3, v0, v1, v2, v3,
-     d0, d1, d2, d3, out_ref) = refs
+def _idwt2d_shifted_kernel(flo, fhi, lpr, rpr, lpc, rpc, tcb, hh,
+                           nc_out, sr, sc, accumulate, scale, refs):
+    if accumulate:
+        (a_top, a_body, a_bot, h_top, h_body, h_bot,
+         v_top, v_body, v_bot, d_top, d_body, d_bot, acc_ref,
+         out_ref) = refs
+    else:
+        (a_top, a_body, a_bot, h_top, h_body, h_bot,
+         v_top, v_body, v_bot, d_top, d_body, d_bot, out_ref) = refs
+        acc_ref = None
+    # band i reconstructs unshifted out rows [i*2tcb, ..+2tcb) = shifted
+    # rows + sr: coefficient window [i*tcb + sr//2 - lp, ... tcb+1+rp)
+    # sits inside top|body|bot (builder gates sr//2 + 1 + rp <= hh)
+    off = hh + (sr // 2) - lpr
+    par = sr % 2
+    # even sr needs no extra polyphase row: the window is exactly one
+    # band and the merged rows land aligned (no slice) — prefer even-sr
+    # spin schedules
+    lout = tcb + 1 if par else tcb
 
-    def window(b0, b1, b2, b3):
-        rows4 = jnp.concatenate(
-            [b0[:, :], b1[:, :], b2[:, :], b3[:, :]], axis=0)
-        return rows4[off_c: off_c + lpr + tcb + 1 + rpr, :]
+    def window(t, b, bo):
+        full = jnp.concatenate([t[:, :], b[:, :], bo[:, :]], axis=0)
+        return full[off: off + lpr + lout + rpr, :]
 
-    ar = window(a0, a1, a2, a3)
-    hr = window(h0, h1, h2, h3)
-    vr = window(v0, v1, v2, v3)
-    dr = window(d0, d1, d2, d3)
-    # one extra coefficient row of context: merged rows cover y rows
-    # [2*m0, 2*m0 + 2*(tcb+1)); the band needs [2*m0+par, ...+2*tcb)
-    t1 = _synthesis_sub(ar, hr, flo, fhi, tcb + 1, lpr)
-    t2 = _synthesis_sub(vr, dr, flo, fhi, tcb + 1, lpr)
-    t1 = t1[par: par + 2 * tcb, :]
-    t2 = t2[par: par + 2 * tcb, :]
-    out_ref[:, :] = _synthesis_cols_unshift(t1, t2, flo, fhi, lpc, rpc,
-                                            nc_out, sc)
+    ar = window(a_top, a_body, a_bot)
+    hr = window(h_top, h_body, h_bot)
+    vr = window(v_top, v_body, v_bot)
+    dr = window(d_top, d_body, d_bot)
+    # odd sr: one extra coefficient row of context — merged rows cover y
+    # rows [2*m0, 2*m0 + 2*(tcb+1)) and the band needs [2*m0+1, ..+2*tcb)
+    t1 = _synthesis_sub(ar, hr, flo, fhi, lout, lpr)
+    t2 = _synthesis_sub(vr, dr, flo, fhi, lout, lpr)
+    if par:
+        t1 = t1[1: 1 + 2 * tcb, :]
+        t2 = t2[1: 1 + 2 * tcb, :]
+    rec = _synthesis_cols_unshift(t1, t2, flo, fhi, lpc, rpc, nc_out,
+                                  sc)
+    out = rec if acc_ref is None else acc_ref[:, :] + rec
+    out_ref[:, :] = out if scale == 1.0 else out * scale
 
 
 @functools.lru_cache(maxsize=512)
-def _build_idwt2d_shifted(nr_out, nc_out, flo, fhi, sr, sc, interpret):
+def _build_idwt2d_shifted(nr_out, nc_out, flo, fhi, sr, sc, accumulate,
+                          scale, interpret):
     hlen = len(flo)
     if hlen % 2 or nr_out % 2 or nc_out % 2:
         return None
@@ -539,49 +577,43 @@ def _build_idwt2d_shifted(nr_out, nc_out, flo, fhi, sr, sc, interpret):
     w = nc_out // 2
     lp, rp = conv.synthesis_pads(hlen, lrows, nr_out)
     lpc, rpc = conv.synthesis_pads(hlen, w, nc_out)
-    bands = _pick_bands(lrows, w, lp, rp, n_bufs=22, max_body=128)
+    bands = _pick_bands(lrows, w, lp, rp + sr // 2 + 1, n_bufs=14,
+                        max_body=128)
     if bands is None:
         return None
-    tcb, _ = bands
-    if lp + rp + 1 > 2 * tcb:
+    tcb, hh = bands
+    if sr // 2 + 1 + rp > hh or lp > hh:
         return None
-    g = lrows // tcb
-    # band i needs y rows start = i*2*tcb + sr; coefficient rows
-    # [m0 - lp, m0 + tcb + 1 + rp) with m0 = floor(start/2)
-    par = sr % 2
-    off_c = ((sr // 2) - lp) % tcb
-
-    def blk(k):
-        return pl.BlockSpec(
-            (tcb, w),
-            lambda i, k=k: (
-                ((((i * 2 * tcb + sr) // 2 - lp) % lrows) // tcb + k) % g,
-                0),
-            memory_space=pltpu.VMEM)
-
-    in_specs = [blk(k) for _ in range(4) for k in range(4)]
+    top, body, bot = _halo_specs(tcb, hh, lrows, w)
     out_spec = pl.BlockSpec((2 * tcb, nc_out), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_sds = jax.ShapeDtypeStruct((nr_out, nc_out), jnp.float32)
+    in_specs = [top, body, bot] * 4
+    if accumulate:
+        in_specs.append(out_spec)
     kern = functools.partial(_idwt2d_shifted_kernel, flo, fhi, lp, rp,
-                             lpc, rpc, tcb, nc_out, off_c, par, sc % nc_out)
+                             lpc, rpc, tcb, hh, nc_out, sr, sc % nc_out,
+                             accumulate, scale)
     call = pl.pallas_call(
-        lambda *refs: kern(refs), grid=(g,), in_specs=in_specs,
+        lambda *refs: kern(refs), grid=(lrows // tcb,),
+        in_specs=in_specs,
         out_specs=out_spec, out_shape=out_sds,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret)
 
-    def fused(a, h, v, d):
-        return call(a, a, a, a, h, h, h, h, v, v, v, v, d, d, d, d)
+    if accumulate:
+        return lambda a, h, v, d, acc: call(
+            a, a, a, h, h, h, v, v, v, d, d, d, acc)
+    return lambda a, h, v, d: call(a, a, a, h, h, h, v, v, v, d, d, d)
 
-    return fused
 
-
-def idwt2d_fused_unshift(a, h, v, d, fb, out_shape, sr, sc):
+def idwt2d_fused_unshift(a, h, v, d, fb, out_shape, sr, sc, acc=None,
+                         scale=1.0):
     """One fused synthesis level producing
-    roll(idwt2d(a, h, v, d), (-sr, -sc), (-2, -1)) without materializing
-    the roll; None if uncovered."""
+    scale * (roll(idwt2d(a, h, v, d), (-sr, -sc), (-2, -1)) [+ acc]),
+    with the cycle-spin accumulator and final averaging scale fused into
+    the store; None if uncovered."""
     nr, nc = out_shape[-2], out_shape[-1]
     if a.ndim != 2 or a.dtype != jnp.float32:
         return None
@@ -590,10 +622,13 @@ def idwt2d_fused_unshift(a, h, v, d, fb, out_shape, sr, sc):
     if not (a.shape == h.shape == v.shape == d.shape):
         return None
     f = _build_idwt2d_shifted(nr, nc, _taps(fb.rec_lo), _taps(fb.rec_hi),
-                              int(sr) % nr, int(sc) % nc, _interpret())
+                              int(sr) % nr, int(sc) % nc, acc is not None,
+                              float(scale), _interpret())
     if f is None:
         return None
-    return f(a, h, v, d)
+    if acc is None:
+        return f(a, h, v, d)
+    return f(a, h, v, d, acc)
 
 
 # ---------------------------------------------------------------------------
@@ -855,6 +890,150 @@ def build_iswt2d_sharded(nr, nc, flo, fhi, level, interpret):
                     a_t, a_b, h_t, h_b, v_t, v_b, d_t, d_b)
 
     return fused, hh
+
+
+# ---------------------------------------------------------------------------
+# Padded-core kernels: analysis/synthesis of ALREADY-PADDED arrays (no
+# wrap) — the Pallas form of conv.analysis_core/synthesis_core.  These
+# serve the grid-sharded and seq-sharded paths (parallel/spatial.py),
+# where the pads come from a ppermute halo exchange rather than local
+# periodicity, along either the lane axis (last) or the sublane axis
+# (rows), so the sharded per-chip compute needs no HBM transposes.
+# ---------------------------------------------------------------------------
+
+
+def _ana_padded_lanes_kernel(flo, fhi, L, body_ref, lo_ref, hi_ref):
+    tp = body_ref[:, :].T
+    lo, hi = _analysis_sub(tp, flo, fhi, L)
+    lo_ref[:, :] = lo.T
+    hi_ref[:, :] = hi.T
+
+
+@functools.lru_cache(maxsize=512)
+def build_ana_padded_lanes(nr, ncp, L, flo, fhi, interpret):
+    """Decimating analysis along the last axis of an (nr, ncp) padded
+    array -> two (nr, L) outputs; None if uncovered."""
+    hlen = len(flo)
+    if hlen % 2 or ncp % 2:
+        return None
+    bands = _pick_bands(nr, ncp, 0, 0, n_bufs=5)
+    if bands is None:
+        return None
+    ib, _ = bands
+    body = pl.BlockSpec((ib, ncp), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ib, L), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr, L), jnp.float32)
+    kern = functools.partial(_ana_padded_lanes_kernel, flo, fhi, L)
+    return pl.pallas_call(
+        kern, grid=(nr // ib,), in_specs=[body],
+        out_specs=[out_spec] * 2, out_shape=[out_sds] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+
+def _syn_padded_lanes_kernel(flo, fhi, n_out, lpad, a_ref, d_ref,
+                             out_ref):
+    out_ref[:, :] = _synthesis_sub(a_ref[:, :].T, d_ref[:, :].T, flo,
+                                   fhi, n_out // 2, lpad).T
+
+
+@functools.lru_cache(maxsize=512)
+def build_syn_padded_lanes(nr, Lp, n_out, lpad, flo, fhi, interpret):
+    """Polyphase synthesis along the last axis of two (nr, Lp) padded
+    coefficient arrays -> (nr, n_out); None if uncovered."""
+    hlen = len(flo)
+    if hlen % 2 or n_out % 2:
+        return None
+    bands = _pick_bands(nr, max(Lp, n_out), 0, 0, n_bufs=8)
+    if bands is None:
+        return None
+    ib, _ = bands
+    in_spec = pl.BlockSpec((ib, Lp), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ib, n_out), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr, n_out), jnp.float32)
+    kern = functools.partial(_syn_padded_lanes_kernel, flo, fhi, n_out,
+                             lpad)
+    return pl.pallas_call(
+        kern, grid=(nr // ib,), in_specs=[in_spec, in_spec],
+        out_specs=out_spec, out_shape=out_sds,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+
+def _ana_padded_rows_kernel(flo, fhi, L, body_ref, lo_ref, hi_ref):
+    lo, hi = _analysis_sub(body_ref[:, :], flo, fhi, L)
+    lo_ref[:, :] = lo
+    hi_ref[:, :] = hi
+
+
+@functools.lru_cache(maxsize=512)
+def build_ana_padded_rows(nrp, nc, L, flo, fhi, interpret):
+    """Decimating analysis along the ROW axis of an (nrp, nc) padded
+    array -> two (L, nc) outputs (no transposes anywhere)."""
+    hlen = len(flo)
+    if hlen % 2 or nrp % 2:
+        return None
+    cb = None
+    for cand in (512, 256, 128):
+        if nc % cand == 0 and nrp * cand * 4 * 5 <= _VMEM_BUDGET:
+            cb = cand
+            break
+    if cb is None:
+        return None
+    body = pl.BlockSpec((nrp, cb), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((L, cb), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((L, nc), jnp.float32)
+    kern = functools.partial(_ana_padded_rows_kernel, flo, fhi, L)
+    return pl.pallas_call(
+        kern, grid=(nc // cb,), in_specs=[body],
+        out_specs=[out_spec] * 2, out_shape=[out_sds] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+
+def _syn_padded_rows_kernel(flo, fhi, n_out, lpad, a_ref, d_ref,
+                            out_ref):
+    out_ref[:, :] = _synthesis_sub(a_ref[:, :], d_ref[:, :], flo, fhi,
+                                   n_out // 2, lpad)
+
+
+@functools.lru_cache(maxsize=512)
+def build_syn_padded_rows(Lp, nc, n_out, lpad, flo, fhi, interpret):
+    """Polyphase synthesis along the ROW axis of two (Lp, nc) padded
+    coefficient arrays -> (n_out, nc)."""
+    hlen = len(flo)
+    if hlen % 2 or n_out % 2:
+        return None
+    cb = None
+    for cand in (512, 256, 128):
+        if nc % cand == 0 and max(Lp, n_out) * cand * 4 * 8 \
+                <= _VMEM_BUDGET:
+            cb = cand
+            break
+    if cb is None:
+        return None
+    in_spec = pl.BlockSpec((Lp, cb), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((n_out, cb), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((n_out, nc), jnp.float32)
+    kern = functools.partial(_syn_padded_rows_kernel, flo, fhi, n_out,
+                             lpad)
+    return pl.pallas_call(
+        kern, grid=(nc // cb,), in_specs=[in_spec, in_spec],
+        out_specs=out_spec, out_shape=out_sds,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
 
 
 # ---------------------------------------------------------------------------

@@ -391,33 +391,155 @@ def iswt2d_rowsharded(coeffs, fb, mesh, batched=False):
 from .mesh import COL_AXIS  # noqa: E402
 
 
+def halo_exchange_rows(x, lpad, rpad, axis_name, axis_size):
+    """Halo exchange along axis -2 without any transpose (multi-hop as
+    needed; local periodic wrap when axis_size == 1)."""
+    parts = []
+    if axis_size == 1:
+        n = x.shape[-2]
+        if lpad:
+            parts.append(x[..., n - lpad:, :] if lpad < n else
+                         jnp.concatenate(
+                             [x] * (-(-lpad // n)), axis=-2)[..., -lpad:,
+                                                             :])
+        parts.append(x)
+        if rpad:
+            parts.append(x[..., :rpad, :] if rpad < n else
+                         jnp.concatenate(
+                             [x] * (-(-rpad // n)), axis=-2)[..., :rpad,
+                                                             :])
+    else:
+        if lpad:
+            parts.append(_rows_before(x, lpad, axis_name, axis_size))
+        parts.append(x)
+        if rpad:
+            parts.append(_rows_after(x, rpad, axis_name, axis_size))
+    return jnp.concatenate(parts, axis=-2) if len(parts) > 1 else x
+
+
+def _fold_padded(xp, lpad, rpad, r, c):
+    """Fold a padded 1D chunk (lpad + r*c + rpad samples) into an
+    (r, c + lpad + rpad) plane of per-row windows: row i holds samples
+    [i*c - lpad, i*c + c + rpad) of the body.  A (1, n) layout is
+    TPU-hostile; this is the sharded-chunk analog of
+    conv.fold_rows_analysis (valid pads instead of periodic rolls)."""
+    w = c + lpad + rpad
+    ext = jnp.concatenate(
+        [xp, jnp.zeros(((r + 1) * c - xp.shape[0],), xp.dtype)])
+    P = ext.reshape(r + 1, c)
+    return jnp.concatenate([P[:r], P[1:]], axis=1)[:, :w]
+
+
 def _analysis_axis_sharded(x, fb, axis, axis_name, axis_size):
-    """Decimating analysis along ``axis`` with periodic halo exchange."""
+    """Decimating analysis along ``axis`` with periodic halo exchange;
+    the padded plane runs a padded-core Pallas kernel where covered
+    (no transposes through HBM), conv.analysis_core otherwise."""
     hlen = len(fb.dec_lo)
-    xt = x if axis in (-1, x.ndim - 1) else jnp.swapaxes(x, axis, -1)
     lpad, rpad = conv.analysis_pads(hlen)
+    last = axis in (-1, x.ndim - 1)
+    if last and x.ndim == 1:
+        rc = conv.long1d_shape(x.shape[0])
+        if rc is not None and lpad + rpad <= rc[1]:
+            r, c = rc
+            xp = halo_exchange_last(x, lpad, rpad, axis_name, axis_size)
+            fold = _fold_padded(xp, lpad, rpad, r, c)
+            L = c // 2
+            if _fused_ok(x):
+                f = _pk().build_ana_padded_lanes(
+                    r, fold.shape[1], L, _taps(fb.dec_lo),
+                    _taps(fb.dec_hi), _pk()._interpret())
+                if f is not None:
+                    lo, hi = f(fold)
+                    return lo.reshape(-1), hi.reshape(-1)
+            lo, hi = conv.analysis_core(fold, fb.dec_lo, fb.dec_hi, L)
+            return lo.reshape(-1), hi.reshape(-1)
+    if not last and x.ndim == 2:
+        L = x.shape[-2] // 2
+        xp = halo_exchange_rows(x, lpad, rpad, axis_name, axis_size)
+        if _fused_ok(x):
+            f = _pk().build_ana_padded_rows(
+                xp.shape[-2], x.shape[-1], L, _taps(fb.dec_lo),
+                _taps(fb.dec_hi), _pk()._interpret())
+            if f is not None:
+                return tuple(f(xp))
+        xt = jnp.swapaxes(xp, -1, -2)
+        lo, hi = conv.analysis_core(xt, fb.dec_lo, fb.dec_hi, L)
+        return jnp.swapaxes(lo, -1, -2), jnp.swapaxes(hi, -1, -2)
+    xt = x if last else jnp.swapaxes(x, axis, -1)
     xp = halo_exchange_last(xt, lpad, rpad, axis_name, axis_size)
-    lo, hi = conv.analysis_core(xp, fb.dec_lo, fb.dec_hi,
-                                xt.shape[-1] // 2)
-    if axis not in (-1, x.ndim - 1):
+    L = xt.shape[-1] // 2
+    if last and _fused_ok(x) and x.ndim == 2:
+        f = _pk().build_ana_padded_lanes(
+            x.shape[0], xp.shape[-1], L, _taps(fb.dec_lo),
+            _taps(fb.dec_hi), _pk()._interpret())
+        if f is not None:
+            return tuple(f(xp))
+    lo, hi = conv.analysis_core(xp, fb.dec_lo, fb.dec_hi, L)
+    if not last:
         lo = jnp.swapaxes(lo, axis, -1)
         hi = jnp.swapaxes(hi, axis, -1)
     return lo, hi
 
 
 def _synthesis_axis_sharded(lo, hi, fb, axis, axis_name, axis_size):
-    """Upsampling synthesis along ``axis`` with halo exchange."""
+    """Upsampling synthesis along ``axis`` with halo exchange; padded
+    coefficient planes run padded-core Pallas kernels where covered."""
     hlen = len(fb.rec_lo)
-    lot = lo if axis in (-1, lo.ndim - 1) else jnp.swapaxes(lo, axis, -1)
-    hit = hi if axis in (-1, hi.ndim - 1) else jnp.swapaxes(hi, axis, -1)
+    last = axis in (-1, lo.ndim - 1)
+    if last and lo.ndim == 1:
+        rc = conv.long1d_shape(lo.shape[0])
+        if rc is not None:
+            r, c = rc
+            lpad, rpad = conv.synthesis_pads(hlen, c, 2 * c)
+            if lpad + rpad <= c:
+                lop = halo_exchange_last(lo, lpad, rpad, axis_name,
+                                         axis_size)
+                hip = halo_exchange_last(hi, lpad, rpad, axis_name,
+                                         axis_size)
+                fl = _fold_padded(lop, lpad, rpad, r, c)
+                fh = _fold_padded(hip, lpad, rpad, r, c)
+                if _fused_ok(lo):
+                    f = _pk().build_syn_padded_lanes(
+                        r, fl.shape[1], 2 * c, lpad, _taps(fb.rec_lo),
+                        _taps(fb.rec_hi), _pk()._interpret())
+                    if f is not None:
+                        return f(fl, fh).reshape(-1)
+                out = conv.synthesis_core(fl, fh, fb.rec_lo, fb.rec_hi,
+                                          2 * c, c, lpad)
+                return out.reshape(-1)
+    if not last and lo.ndim == 2:
+        L = lo.shape[-2]
+        n_out = 2 * L
+        lpad, rpad = conv.synthesis_pads(hlen, L, n_out)
+        lop = halo_exchange_rows(lo, lpad, rpad, axis_name, axis_size)
+        hip = halo_exchange_rows(hi, lpad, rpad, axis_name, axis_size)
+        if _fused_ok(lo):
+            f = _pk().build_syn_padded_rows(
+                lop.shape[-2], lo.shape[-1], n_out, lpad,
+                _taps(fb.rec_lo), _taps(fb.rec_hi), _pk()._interpret())
+            if f is not None:
+                return f(lop, hip)
+        lot = jnp.swapaxes(lop, -1, -2)
+        hit = jnp.swapaxes(hip, -1, -2)
+        out = conv.synthesis_core(lot, hit, fb.rec_lo, fb.rec_hi, n_out,
+                                  L, lpad)
+        return jnp.swapaxes(out, -1, -2)
+    lot = lo if last else jnp.swapaxes(lo, axis, -1)
+    hit = hi if last else jnp.swapaxes(hi, axis, -1)
     L = lot.shape[-1]
     n_out = 2 * L
     lpad, rpad = conv.synthesis_pads(hlen, L, n_out)
     lop = halo_exchange_last(lot, lpad, rpad, axis_name, axis_size)
     hip = halo_exchange_last(hit, lpad, rpad, axis_name, axis_size)
+    if last and _fused_ok(lo) and lo.ndim == 2:
+        f = _pk().build_syn_padded_lanes(
+            lo.shape[0], lop.shape[-1], n_out, lpad, _taps(fb.rec_lo),
+            _taps(fb.rec_hi), _pk()._interpret())
+        if f is not None:
+            return f(lop, hip)
     out = conv.synthesis_core(lop, hip, fb.rec_lo, fb.rec_hi, n_out, L,
                               lpad)
-    if axis not in (-1, lo.ndim - 1):
+    if not last:
         out = jnp.swapaxes(out, axis, -1)
     return out
 

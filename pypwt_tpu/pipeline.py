@@ -81,44 +81,69 @@ def denoise2d_cycle_spinning(img, wname, levels, beta, key=None,
         pyr = th(pyr, beta, bool(threshold_appcoeffs), bool(normalize))
         return inv(pyr)
 
-    def spin_static(sr, sc):
-        """One spin with the static shift folded into the level-0 kernels
-        (no materialized rolls); None if the kernels decline."""
+    def spin_static(sr, sc, acc, scale=1.0):
+        """One spin with the static shift folded into the level-0
+        kernels: the level-0 detail threshold runs in the analysis
+        kernel's epilogue and the spin accumulator is fused into the
+        unshifting synthesis store, so a spin costs one denoise's HBM
+        traffic.  None if the kernels decline."""
         if (not dwt._pallas_enabled() or img.ndim != 2
                 or img.dtype != jnp.float32 or fb.hlen == 2):
             return None  # haar/batched fall back to the roll path
         from .ops import pallas_dwt as pk
-        c0 = pk.dwt2d_fused_shifted(img, fb, sr, sc)
+        mode = "hard" if hard else "soft"
+        sqrt2 = 2.0 ** 0.5
+        b1 = beta / sqrt2 if normalize else beta  # finest-level beta
+        c0 = pk.dwt2d_fused_shifted(img, fb, sr, sc, thresh_mode=mode,
+                                    beta=b1)
         if c0 is None:
             return None
         a, h0, v0, d0 = c0
-        details = [(h0, v0, d0)]
+        details = []
         for _ in range(levels - 1):
             a, h, v, d = dwt.dwt2d(a, fb)
             details.append((h, v, d))
-        pyr = [a] + details
-        pyr = th(pyr, beta, bool(threshold_appcoeffs), bool(normalize))
+        # threshold the remaining (level 2..L) sub-pyramid; passing
+        # beta/sqrt2 keeps the global normalize schedule aligned
+        sub = th([a] + details,
+                 beta / sqrt2 if normalize else beta,
+                 bool(threshold_appcoeffs), bool(normalize))
         sizes = [img.shape[-2:]]
         for _ in range(levels):
             sizes.append((div2(sizes[-1][0]),
                           div2(sizes[-1][1])))
-        a = pyr[0]
-        for lev in range(levels, 1, -1):
-            hh, vv, dd = pyr[lev]
-            a = dwt.idwt2d(a, hh, vv, dd, fb, sizes[lev - 1])
-        hh, vv, dd = pyr[1]
-        return pk.idwt2d_fused_unshift(a, hh, vv, dd, fb, img.shape,
-                                       sr, sc)
+        a = sub[0]
+        for lev in range(levels - 1, 0, -1):
+            hh, vv, dd = sub[lev]
+            a = dwt.idwt2d(a, hh, vv, dd, fb, sizes[lev])
+        return pk.idwt2d_fused_unshift(a, h0, v0, d0, fb, img.shape,
+                                       sr, sc, acc=acc, scale=scale)
 
     if shifts is not None:
         acc = None
-        for (sr, sc) in shifts:
-            rec = spin_static(int(sr) % nr, int(sc) % nc)
-            if rec is None:
+        fell_back = False
+        for k, (sr, sc) in enumerate(shifts):
+            # an L-level periodized pyramid commutes with translations by
+            # multiples of 2^L on both axes, so only shifts mod 2^levels
+            # are distinct — the reduced shift rides the kernels' halo
+            # blocks at zero extra HBM traffic; the last spin's store
+            # also applies the 1/n averaging
+            last = k == len(shifts) - 1
+            new_acc = spin_static(int(sr) % (1 << levels),
+                                  int(sc) % (1 << levels), acc,
+                                  scale=(1.0 / len(shifts)
+                                         if last and not fell_back
+                                         and len(shifts) > 1 else 1.0))
+            if new_acc is None:
+                fell_back = True
                 rec = spin(jnp.roll(img, (sr, sc), (-2, -1)))
                 rec = jnp.roll(rec, (-sr, -sc), (-2, -1))
-            acc = rec if acc is None else acc + rec
-        return acc / len(shifts)
+                acc = rec if acc is None else acc + rec
+            else:
+                acc = new_acc
+        if fell_back or len(shifts) == 1:
+            return acc / len(shifts) if len(shifts) > 1 else acc
+        return acc
 
     if key is None:
         raise ValueError("pass either a random key or static shifts")

@@ -96,3 +96,25 @@ def test_pyramid_fallbacks():
     fb = get_filter_bank("db2")
     assert fp.wavedec2_pyramid(_rand((100, 128)), fb, 2) is None
     assert fp.wavedec2_pyramid(_rand((128, 128)), fb, 1) is None
+
+
+def test_tailfused_wavedec_matches_per_level():
+    """Level-0-standalone + fused tail (dwt.wavedec2_tailfused) against
+    the per-level path, both directions."""
+    fb = get_filter_bank("db2")
+    shape, levels = (256, 256), 3
+    x = _rand(shape)
+    dwt.set_kernels("pallas")
+    try:
+        got = dwt.wavedec2_tailfused(x, fb, levels)
+        assert got is not None
+        want = dwt.wavedec2(x, fb, levels)
+        for g, w in zip(
+                __import__("jax").tree.leaves(got),
+                __import__("jax").tree.leaves(want)):
+            assert float(jnp.abs(g - w).max()) < 1e-5
+        y = dwt.waverec2_tailfused(got, fb, shape)
+        assert y is not None
+        assert float(jnp.abs(y - x).max()) < 1e-5
+    finally:
+        dwt.set_kernels("auto")

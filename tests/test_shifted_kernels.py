@@ -22,7 +22,10 @@ def _f32(shape):
     return jnp.asarray(RNG.standard_normal(shape), dtype=jnp.float32)
 
 
-SHIFTS = [(0, 0), (1, 1), (2, 3), (7, 5), (8, 8), (127, 1), (1, 127)]
+# small row shifts ride the halo blocks (spin shifts are reduced mod
+# 2^levels by the pipeline); column shifts are unrestricted (full-width
+# in-VMEM lane roll)
+SHIFTS = [(0, 0), (1, 1), (2, 3), (7, 5), (8, 8), (1, 127), (6, 77)]
 
 
 @pytest.mark.parametrize("wname", ["db2", "sym4"])
@@ -37,6 +40,12 @@ def test_shifted_analysis_matches_rolled(wname, shift):
     for g, r in zip(got, ref):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    atol=3e-5)
+
+
+def test_shifted_analysis_declines_row_shift_beyond_halo():
+    fb = get_filter_bank("db2")
+    x = _f32((128, 128))
+    assert pk.dwt2d_fused_shifted(x, fb, 127, 1) is None
 
 
 @pytest.mark.parametrize("wname", ["db2", "db4"])
@@ -87,3 +96,52 @@ def test_static_pipeline_matches_roll_path():
         dwt.set_kernels("auto")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-5)
+
+
+def test_thresh_fused_analysis_and_acc_synthesis():
+    """In-kernel threshold epilogue and fused spin accumulator match the
+    unfused formulation."""
+    fb = get_filter_bank("db2")
+    x = _f32((128, 128))
+    beta = 0.7
+    got = pk.dwt2d_fused_shifted(x, fb, 3, 5, thresh_mode="soft",
+                                 beta=beta)
+    assert got is not None
+    a, h, v, d = dwt.dwt2d(jnp.roll(x, (3, 5), (-2, -1)), fb)
+    st = lambda t: jnp.sign(t) * jnp.maximum(jnp.abs(t) - beta, 0)
+    for g, r in zip(got, (a, st(h), st(v), st(d))):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=3e-5)
+
+    acc = _f32((128, 128))
+    a4, h4, v4, d4 = (_f32((64, 64)) for _ in range(4))
+    out = pk.idwt2d_fused_unshift(a4, h4, v4, d4, fb, (128, 128), 3, 5,
+                                  acc=acc)
+    assert out is not None
+    ref = acc + jnp.roll(dwt.idwt2d(a4, h4, v4, d4, fb, (128, 128)),
+                         (-3, -5), (-2, -1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5)
+
+
+def test_static_pipeline_normalize_and_hard_match_roll_path():
+    x = _f32((128, 128))
+    shifts = ((1, 2), (3, 0))
+    for kwargs in ({"normalize": True}, {"hard": True},
+                   {"threshold_appcoeffs": True, "normalize": True}):
+        dwt.set_kernels("pallas")
+        try:
+            got = pipeline.denoise2d_cycle_spinning(
+                x, "db3", 3, 0.4, shifts=shifts, **kwargs)
+        finally:
+            dwt.set_kernels("auto")
+        pipeline.denoise2d_cycle_spinning.clear_cache()
+        dwt.set_kernels("jnp")
+        try:
+            want = pipeline.denoise2d_cycle_spinning(
+                x, "db3", 3, 0.4, shifts=shifts, **kwargs)
+        finally:
+            dwt.set_kernels("auto")
+        pipeline.denoise2d_cycle_spinning.clear_cache()
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5)

@@ -153,12 +153,13 @@ def main():
            lambda: timeit_chained(cyc, x0, iters=max(16, iters // 4)),
            lambda: rt_err(rt_plain, x0))
 
-    # static-shift mode: spins unroll at trace time; covers the distinct
-    # mod-2^levels cosets (dynamic rolls cost 2 full HBM round trips per
-    # spin because they cannot fuse into the opaque Pallas calls)
+    # static-shift mode: spins unroll at trace time with the shift,
+    # level-0 threshold, accumulation and averaging all fused into the
+    # level-0 kernels.  Even row shifts skip the odd-parity polyphase
+    # slice; the schedule covers 4 distinct cosets on each axis.
     def cyc_s(v):
         return pl_.denoise2d_cycle_spinning(
-            v, "db2", 3, 1.0, shifts=((0, 0), (1, 1), (2, 2), (3, 3)))
+            v, "db2", 3, 1.0, shifts=((0, 0), (2, 1), (4, 2), (6, 3)))
     record("denoise_cycle_spin4static_db2_L3_2048",
            lambda: timeit_chained(cyc_s, x0, iters=max(16, iters // 4)),
            lambda: rt_err(rt_plain, x0))

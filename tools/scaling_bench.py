@@ -41,11 +41,20 @@ def main():
     ap.add_argument("--wavelet", default="db2")
     ap.add_argument("--frames-per-chip", type=int, default=4)
     ap.add_argument("--iters", type=int, default=32)
+    ap.add_argument("--mode", choices=("batch", "spatial"),
+                    default="batch",
+                    help="batch: DP over a frame stack; spatial: one "
+                    "image with rows sharded (strong scaling, halo "
+                    "exchange on the ring)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     import numpy as np
     import jax
+    if os.environ.get("PYPWT_SCALING_CPU"):
+        # the container's sitecustomize imports jax before this file runs,
+        # so the env var alone is too late; force through the config
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -68,29 +77,51 @@ def main():
     base_fps_per_chip = None
 
     for d in counts:
-        m = pmesh.make_mesh(n_data=d, n_rows=1,
-                            devices=np.asarray(jax.devices()[:d]))
-        frames = args.frames_per_chip * d
-        shape = (frames, n, n)
         rng = np.random.default_rng(0)
-        x = jnp.asarray(rng.random(shape, dtype=np.float32))
-        x = jax.device_put(
-            x, NamedSharding(m, P(pmesh.BATCH_AXIS, None, None)))
+        if args.mode == "batch":
+            m = pmesh.make_mesh(n_data=d, n_rows=1,
+                                devices=np.asarray(jax.devices()[:d]))
+            frames = args.frames_per_chip * d
+            shape = (frames, n, n)
+            x = jnp.asarray(rng.random(shape, dtype=np.float32))
+            x = jax.device_put(
+                x, NamedSharding(m, P(pmesh.BATCH_AXIS, None, None)))
 
-        def step(v):
-            pyr = dwt.wavedec2(v, fb, args.levels)
-            pyr = thresh.soft_threshold(pyr, 0.0)
-            return dwt.waverec2(pyr, fb, shape)
+            def step(v):
+                pyr = dwt.wavedec2(v, fb, args.levels)
+                pyr = thresh.soft_threshold(pyr, 0.0)
+                return dwt.waverec2(pyr, fb, shape)
+        else:
+            # strong scaling: ONE image, rows sharded over d chips; the
+            # fused sharded kernels + ppermute halos are the hot path
+            from pypwt_tpu.parallel.sharded import ShardedWavelets
+            m = pmesh.make_mesh(n_data=1, n_rows=d,
+                                devices=np.asarray(jax.devices()[:d]))
+            frames = 1
+            img = rng.random((n, n), dtype=np.float32)
+            SW = ShardedWavelets(img, args.wavelet, args.levels, mesh=m)
+            step = SW._denoise_step(False, False)
+            x0 = SW._image
+            beta0 = jnp.float32(0.0)
+
+            def step(v, _s=step, _b=beta0):
+                return _s(v, _b)
+
+            x = x0
 
         # correctness gate (beta=0 keeps the step invertible); the error
         # reduction runs inside the jit — eager ops cost minutes on the
         # axon compile relay
         err = float(jax.jit(lambda v: jnp.abs(step(v) - v).max())(x))
         secs = timeit_chained(step, x, iters=args.iters)
-        fps_chip = frames / secs / d
+        if args.mode == "batch":
+            fps_chip = frames / secs / d
+        else:
+            # strong scaling: per-image rate; efficiency = speedup / d
+            fps_chip = 1.0 / secs / d
         if base_fps_per_chip is None:
             base_fps_per_chip = fps_chip
-        row = {"chips": d, "frames": frames,
+        row = {"mode": args.mode, "chips": d, "frames": frames,
                "time_us": round(secs * 1e6, 1),
                "fps_per_chip": round(fps_chip, 1),
                "efficiency": round(fps_chip / base_fps_per_chip, 3),
