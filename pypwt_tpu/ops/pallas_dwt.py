@@ -632,6 +632,193 @@ def idwt2d_fused_unshift(a, h, v, d, fb, out_shape, sr, sc, acc=None,
 
 
 # ---------------------------------------------------------------------------
+# Multi-spin level-0 kernels: ALL static spins in one pass.  The
+# per-spin shifted kernels still re-read the image once per spin and
+# read-modify-write the accumulator; here ONE analysis kernel reads the
+# image once and emits every spin's (thresholded) level-0 subbands, and
+# ONE synthesis kernel reads every spin's level-0 planes and writes the
+# averaged reconstruction once — the cycle-spin traffic floor.
+# ---------------------------------------------------------------------------
+
+
+def _dwt2d_multishift_kernel(flo, fhi, lp, rp, ib, hh, shifts, mode,
+                             refs):
+    if mode is None:
+        top_ref, body_ref, bot_ref = refs[:3]
+        outs = refs[3:]
+        beta = None
+    else:
+        top_ref, body_ref, bot_ref, beta_ref = refs[:4]
+        outs = refs[4:]
+        beta = beta_ref[0, 0]
+    full = jnp.concatenate([top_ref[:, :], body_ref[:, :],
+                            bot_ref[:, :]], axis=0)
+    for k, (sr, sc) in enumerate(shifts):
+        rows = full[hh - lp - sr: hh - lp - sr + lp + ib + rp, :]
+        lo_r, hi_r = _analysis_sub(rows, flo, fhi, ib // 2)
+        a, v = _analysis_cols_shifted(lo_r, flo, fhi, lp, rp, sc)
+        h, d = _analysis_cols_shifted(hi_r, flo, fhi, lp, rp, sc)
+        a_ref, h_ref, v_ref, d_ref = outs[4 * k: 4 * k + 4]
+        a_ref[:, :] = a
+        h_ref[:, :] = _apply_thresh(h, beta, mode)
+        v_ref[:, :] = _apply_thresh(v, beta, mode)
+        d_ref[:, :] = _apply_thresh(d, beta, mode)
+
+
+@functools.lru_cache(maxsize=128)
+def _build_dwt2d_multishift(nr, nc, flo, fhi, shifts, mode, interpret):
+    hlen = len(flo)
+    if hlen % 2 or nr % 2 or nc % 2:
+        return None
+    lp, rp = conv.analysis_pads(hlen)
+    max_sr = max(s[0] for s in shifts)
+    n_spins = len(shifts)
+    bands = _pick_bands(nr, nc, lp + max_sr, rp,
+                        n_bufs=2 + 3 * n_spins, max_body=1024,
+                        budget=52 * 1024 * 1024)
+    if bands is None:
+        return None
+    ib, hh = bands
+    if max_sr > hh - lp:
+        return None
+    top, body, bot = _halo_specs(ib, hh, nr, nc)
+    in_specs = [top, body, bot]
+    if mode is not None:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.SMEM))
+    out_spec = pl.BlockSpec((ib // 2, nc // 2), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr // 2, nc // 2), jnp.float32)
+    kern = functools.partial(_dwt2d_multishift_kernel, flo, fhi, lp, rp,
+                             ib, hh, shifts, mode)
+    call = pl.pallas_call(
+        lambda *refs: kern(refs), grid=(nr // ib,), in_specs=in_specs,
+        out_specs=[out_spec] * (4 * n_spins),
+        out_shape=[out_sds] * (4 * n_spins),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+    if mode is None:
+        return lambda x: call(x, x, x)
+    return lambda x, beta: call(
+        x, x, x, jnp.reshape(jnp.asarray(beta, jnp.float32), (1, 1)))
+
+
+def dwt2d_fused_multishift(x, fb, shifts, thresh_mode=None, beta=None):
+    """Level-0 analyses of roll(x, s) for every static shift s in ONE
+    kernel (one image read); returns a list of (a, h, v, d) per shift,
+    details thresholded in-kernel when ``thresh_mode`` is set.  None if
+    uncovered."""
+    if x.ndim != 2 or x.dtype != jnp.float32:
+        return None
+    shifts = tuple((int(sr) % x.shape[0], int(sc) % x.shape[1])
+                   for sr, sc in shifts)
+    f = _build_dwt2d_multishift(x.shape[0], x.shape[1],
+                                _taps(fb.dec_lo), _taps(fb.dec_hi),
+                                shifts, thresh_mode, _interpret())
+    if f is None:
+        return None
+    flat = f(x) if thresh_mode is None else f(x, beta)
+    return [tuple(flat[4 * k: 4 * k + 4]) for k in range(len(shifts))]
+
+
+def _idwt2d_multiunshift_kernel(flo, fhi, lpr, rpr, lpc, rpc, tcb, hh,
+                                nc_out, shifts, scale, refs):
+    out_ref = refs[-1]
+    acc = None
+    for k, (sr, sc) in enumerate(shifts):
+        trip = refs[12 * k: 12 * k + 12]
+        off = hh + (sr // 2) - lpr
+        par = sr % 2
+        lout = tcb + 1 if par else tcb
+
+        def window(t, b, bo, off=off, lout=lout):
+            full = jnp.concatenate([t[:, :], b[:, :], bo[:, :]], axis=0)
+            return full[off: off + lpr + lout + rpr, :]
+
+        ar = window(*trip[0:3])
+        hr = window(*trip[3:6])
+        vr = window(*trip[6:9])
+        dr = window(*trip[9:12])
+        t1 = _synthesis_sub(ar, hr, flo, fhi, lout, lpr)
+        t2 = _synthesis_sub(vr, dr, flo, fhi, lout, lpr)
+        if par:
+            t1 = t1[1: 1 + 2 * tcb, :]
+            t2 = t2[1: 1 + 2 * tcb, :]
+        rec = _synthesis_cols_unshift(t1, t2, flo, fhi, lpc, rpc,
+                                      nc_out, sc)
+        acc = rec if acc is None else acc + rec
+    out_ref[:, :] = acc if scale == 1.0 else acc * scale
+
+
+@functools.lru_cache(maxsize=128)
+def _build_idwt2d_multiunshift(nr_out, nc_out, flo, fhi, shifts, scale,
+                               interpret):
+    hlen = len(flo)
+    if hlen % 2 or nr_out % 2 or nc_out % 2:
+        return None
+    lrows = nr_out // 2
+    w = nc_out // 2
+    lp, rp = conv.synthesis_pads(hlen, lrows, nr_out)
+    lpc, rpc = conv.synthesis_pads(hlen, w, nc_out)
+    max_sr = max(s[0] for s in shifts)
+    n_spins = len(shifts)
+    bands = _pick_bands(lrows, w, lp, rp + max_sr // 2 + 1,
+                        n_bufs=6 + 8 * n_spins, max_body=128)
+    if bands is None:
+        return None
+    tcb, hh = bands
+    if max_sr // 2 + 1 + rp > hh or lp > hh:
+        return None
+    top, body, bot = _halo_specs(tcb, hh, lrows, w)
+    out_spec = pl.BlockSpec((2 * tcb, nc_out), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr_out, nc_out), jnp.float32)
+    kern = functools.partial(_idwt2d_multiunshift_kernel, flo, fhi, lp,
+                             rp, lpc, rpc, tcb, hh, nc_out, shifts,
+                             scale)
+    call = pl.pallas_call(
+        lambda *refs: kern(refs), grid=(lrows // tcb,),
+        in_specs=[top, body, bot] * (4 * n_spins),
+        out_specs=out_spec, out_shape=out_sds,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+    def fused(coeff_sets):
+        args = []
+        for (a, h, v, d) in coeff_sets:
+            args += [a, a, a, h, h, h, v, v, v, d, d, d]
+        return call(*args)
+
+    return fused
+
+
+def idwt2d_fused_multiunshift(coeff_sets, fb, out_shape, shifts,
+                              scale=1.0):
+    """sum_k scale * roll(idwt2d(*coeff_sets[k]), -shifts[k]) in ONE
+    kernel (one output write — the spin-averaging store).  None if
+    uncovered."""
+    nr, nc = out_shape[-2], out_shape[-1]
+    a0 = coeff_sets[0][0]
+    if a0.ndim != 2 or a0.dtype != jnp.float32:
+        return None
+    if (nr, nc) != (2 * a0.shape[-2], 2 * a0.shape[-1]):
+        return None
+    for (a, h, v, d) in coeff_sets:
+        if not (a.shape == h.shape == v.shape == d.shape == a0.shape):
+            return None
+    shifts = tuple((int(sr) % nr, int(sc) % nc) for sr, sc in shifts)
+    f = _build_idwt2d_multiunshift(nr, nc, _taps(fb.rec_lo),
+                                   _taps(fb.rec_hi), shifts,
+                                   float(scale), _interpret())
+    if f is None:
+        return None
+    return f(tuple(coeff_sets))
+
+
+# ---------------------------------------------------------------------------
 # Sharded (shard_map-local) fused levels: identical kernels, but the first
 # and last grid programs' row-halo blocks are overridden with neighbor-chip
 # rows exchanged over the ICI ring (ppermute) — the wrapped index maps stay

@@ -10,6 +10,7 @@ wt.cu:242-246).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -119,7 +120,55 @@ def denoise2d_cycle_spinning(img, wname, levels, beta, key=None,
         return pk.idwt2d_fused_unshift(a, h0, v0, d0, fb, img.shape,
                                        sr, sc, acc=acc, scale=scale)
 
+    def spins_multishift():
+        """All static spins through the multi-shift kernels: one image
+        read for every spin's level-0 analysis, one store for the
+        averaged reconstruction.  None if uncovered."""
+        if (not dwt._pallas_enabled() or img.ndim != 2
+                or img.dtype != jnp.float32 or fb.hlen == 2):
+            return None
+        from .ops import pallas_dwt as pk
+        red = tuple((int(sr) % (1 << levels), int(sc) % (1 << levels))
+                    for sr, sc in shifts)
+        mode = "hard" if hard else "soft"
+        sqrt2 = 2.0 ** 0.5
+        b1 = beta / sqrt2 if normalize else beta
+        c_all = pk.dwt2d_fused_multishift(img, fb, red, thresh_mode=mode,
+                                          beta=b1)
+        if c_all is None:
+            return None
+        sizes = [img.shape[-2:]]
+        for _ in range(levels):
+            sizes.append((div2(sizes[-1][0]), div2(sizes[-1][1])))
+        sets = []
+        for (a, h0, v0, d0) in c_all:
+            details = []
+            for _ in range(levels - 1):
+                a, h, v, d = dwt.dwt2d(a, fb)
+                details.append((h, v, d))
+            sub = th([a] + details,
+                     beta / sqrt2 if normalize else beta,
+                     bool(threshold_appcoeffs), bool(normalize))
+            a = sub[0]
+            for lev in range(levels - 1, 0, -1):
+                hh, vv, dd = sub[lev]
+                a = dwt.idwt2d(a, hh, vv, dd, fb, sizes[lev])
+            sets.append((a, h0, v0, d0))
+        return pk.idwt2d_fused_multiunshift(
+            sets, fb, img.shape, red,
+            scale=1.0 / len(shifts) if len(shifts) > 1 else 1.0)
+
     if shifts is not None:
+        # The one-pass multi-spin kernels (all spins' level-0 analyses
+        # from a single image read) save HBM reads but not VPU issue —
+        # and the 2+3n/6+8n buffer footprint forces narrow bands, so
+        # they measured SLOWER than the per-spin fused path (1084 vs
+        # 951 us, 4 spins, 2048^2 db2 L3; doc/performance.md).  Kept
+        # behind PYPWT_MULTISHIFT=1 as a measured experiment.
+        if os.environ.get("PYPWT_MULTISHIFT", "0") == "1":
+            out = spins_multishift()
+            if out is not None:
+                return out
         acc = None
         fell_back = False
         for k, (sr, sc) in enumerate(shifts):

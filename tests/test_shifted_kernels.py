@@ -145,3 +145,27 @@ def test_static_pipeline_normalize_and_hard_match_roll_path():
         pipeline.denoise2d_cycle_spinning.clear_cache()
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=3e-5)
+
+
+def test_multishift_kernels_match_per_spin():
+    """The one-pass multi-spin kernels equal the per-spin formulation."""
+    fb = get_filter_bank("db2")
+    x = _f32((128, 128))
+    shifts = ((0, 0), (2, 1), (4, 2), (6, 3))
+    got = pk.dwt2d_fused_multishift(x, fb, shifts)
+    assert got is not None
+    for (sr, sc), planes in zip(shifts, got):
+        ref = dwt.dwt2d(jnp.roll(x, (sr, sc), (-2, -1)), fb)
+        for g, r in zip(planes, ref):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       atol=3e-5)
+
+    sets = [tuple(_f32((64, 64)) for _ in range(4)) for _ in shifts]
+    out = pk.idwt2d_fused_multiunshift(sets, fb, (128, 128), shifts,
+                                       scale=0.25)
+    assert out is not None
+    acc = sum(jnp.roll(dwt.idwt2d(*s, fb, (128, 128)), (-sr, -sc),
+                       (-2, -1))
+              for s, (sr, sc) in zip(sets, shifts))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(acc) * 0.25,
+                               atol=3e-5)

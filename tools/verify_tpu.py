@@ -95,16 +95,15 @@ def main():
             failed.append((wname, mode, err))
         print(json.dumps(row), flush=True)
 
-    # NOTE: every error is computed INSIDE one jit returning a scalar —
-    # eager ops through this rig's compile relay cost ~minutes each
-    # (measured 533 s for an eager abs/sub/max chain at 512^2)
-    def rt_err(rt, x0):
-        return float(jax.jit(
-            lambda v: jnp.abs(rt(v) - v).max())(x0))
-
-    _tree_diff = jax.jit(lambda a, b: jnp.asarray(
-        [jnp.abs(x - y.astype(x.dtype)).max() for x, y in
-         zip(jax.tree.leaves(a), jax.tree.leaves(b))]).max())
+    # NOTE: every error is computed INSIDE jit — eager ops through this
+    # rig's compile relay cost ~minutes each (measured 533 s for an
+    # eager abs/sub/max chain at 512^2).  All 8 checks of one bank run
+    # as ONE compiled program: per-program relay overhead dominated the
+    # first cut of this sweep (~10 records of ~600 per 20 minutes).
+    def _tree_diff(a, b):
+        return jnp.asarray(
+            [jnp.abs(x - y.astype(x.dtype)).max() for x, y in
+             zip(jax.tree.leaves(a), jax.tree.leaves(b))]).max()
 
     def fwd_err(fwd, x0, oracle_tree):
         """Max-abs over all subbands of dispatched-forward vs the host
@@ -112,56 +111,58 @@ def main():
         want = jax.tree.map(lambda w: jnp.asarray(w, dtype=jnp.float32),
                             oracle_tree)
         got = jax.jit(fwd)(x0)
-        return float(_tree_diff(got, want))
+        return float(jax.jit(_tree_diff)(got, want))
+
+    def up32(tree):
+        return jax.tree.map(lambda w: jnp.asarray(w, dtype=jnp.float32),
+                            tree)
 
     t_start = time.time()
     for wname in names:
         fb = get_filter_bank(wname)
         lv = min(args.levels,
                  shapes.clamp_levels(args.levels, (n, n), fb.hlen, 2))
-        gate = 3e-4 * (1 << lv) * SCALE
+        flv = min(2, lv)
 
-        # ---- roundtrips at dispatch-selected routing (as round 2) ----
-        record(wname, f"dwt2d_L{lv}",
-               rt_err(lambda v, fb=fb, lv=lv: dwt.waverec2(
-                   dwt.wavedec2(v, fb, lv), fb, (n, n)), x2), gate)
+        # host FFT oracle pyramids, uploaded once
+        w_2d = up32(fo.fft_wavedec2(xf_host, fb, flv))
+        w_swt = up32(fo.fft_swt2d(xf_host, fb, flv))
+        w_b = up32(fo.fft_wavedec1(xb_host, fb, 2))
+        w_l = up32(fo.fft_wavedec1(xl_host, fb, 2))
+
+        def bank_errs(x2, xf, xbig, xb, xl, w_2d, w_swt, w_b, w_l,
+                      fb=fb, lv=lv, flv=flv):
+            rt2 = dwt.waverec2(dwt.wavedec2(x2, fb, lv), fb, (n, n))
+            rt_s = swt.iswt2d(swt.swt2d(x2, fb, min(2, lv)), fb)
+            rt_b = dwt.waverec1(dwt.wavedec1(xbig, fb, 2), fb, 1024)
+            rt_l = dwt.waverec1(dwt.wavedec1(xl, fb, 3), fb, 1 << 18)
+            return jnp.stack([
+                jnp.abs(rt2 - x2).max(),
+                jnp.abs(rt_s - x2).max(),
+                jnp.abs(rt_b - xbig).max(),
+                jnp.abs(rt_l - xl).max(),
+                _tree_diff(dwt.wavedec2(xf, fb, flv), w_2d),
+                _tree_diff(swt.swt2d(xf, fb, flv), w_swt),
+                _tree_diff(dwt.wavedec1(xb, fb, 2), w_b),
+                _tree_diff(dwt.wavedec1(xl, fb, 2), w_l),
+            ])
+
+        errs = np.asarray(jax.jit(bank_errs)(
+            x2, xf, xbig, xb, xl, w_2d, w_swt, w_b, w_l))
 
         slv = min(2, lv)
-        sgate = 3e-4 * (1 << slv) * SCALE
-        record(wname, f"swt2d_L{slv}",
-               rt_err(lambda v, fb=fb, slv=slv: swt.iswt2d(
-                   swt.swt2d(v, fb, slv), fb), x2), sgate)
-
-        record(wname, "dwt1d_batched_L2",
-               rt_err(lambda v, fb=fb: dwt.waverec1(
-                   dwt.wavedec1(v, fb, 2), fb, 1024), xbig),
-               3e-4 * 4 * SCALE)
-
-        record(wname, "dwt1d_long_L3",
-               rt_err(lambda v, fb=fb: dwt.waverec1(
-                   dwt.wavedec1(v, fb, 3), fb, 1 << 18), xl),
-               3e-4 * 8 * SCALE)
-
-        # ---- forward subbands vs the independent FFT oracle ----
-        flv = min(2, lv)
         fgate = 3e-4 * (1 << flv) * SCALE
-        record(wname, f"fwd_dwt2d_L{flv}_vs_oracle",
-               fwd_err(lambda v, fb=fb, flv=flv: dwt.wavedec2(v, fb, flv),
-                       xf, fo.fft_wavedec2(xf_host, fb, flv)), fgate)
-
-        record(wname, f"fwd_swt2d_L{flv}_vs_oracle",
-               fwd_err(lambda v, fb=fb, flv=flv: swt.swt2d(v, fb, flv),
-                       xf, fo.fft_swt2d(xf_host, fb, flv)), fgate)
-
-        record(wname, "fwd_dwt1d_batched_L2_vs_oracle",
-               fwd_err(lambda v, fb=fb: dwt.wavedec1(v, fb, 2),
-                       xb, fo.fft_wavedec1(xb_host, fb, 2)),
-               3e-4 * 4 * SCALE)
-
-        record(wname, "fwd_dwt1d_long_L2_vs_oracle",
-               fwd_err(lambda v, fb=fb: dwt.wavedec1(v, fb, 2),
-                       xl, fo.fft_wavedec1(xl_host, fb, 2)),
-               3e-4 * 4 * SCALE)
+        for (mode, gate), err in zip([
+                (f"dwt2d_L{lv}", 3e-4 * (1 << lv) * SCALE),
+                (f"swt2d_L{slv}", 3e-4 * (1 << slv) * SCALE),
+                ("dwt1d_batched_L2", 3e-4 * 4 * SCALE),
+                ("dwt1d_long_L3", 3e-4 * 8 * SCALE),
+                (f"fwd_dwt2d_L{flv}_vs_oracle", fgate),
+                (f"fwd_swt2d_L{flv}_vs_oracle", fgate),
+                ("fwd_dwt1d_batched_L2_vs_oracle", 3e-4 * 4 * SCALE),
+                ("fwd_dwt1d_long_L2_vs_oracle", 3e-4 * 4 * SCALE),
+        ], errs):
+            record(wname, mode, float(err), gate)
 
     # ---- forced-MXU forward differentials (wide + narrow banks) ----
     for wname in ("db2", "db4", "sym8", "coif3", "db10"):
