@@ -12,12 +12,17 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from . import conv
-from .dwt import _pallas_enabled
+from .dwt import _pallas_enabled, _mxu_wanted
 
 
 def _pk():
     from ..ops import pallas_dwt
     return pallas_dwt
+
+
+def _mx():
+    from ..ops import mxu_swt
+    return mxu_swt
 
 
 def swt1d_level(x, fb, level):
@@ -31,6 +36,10 @@ def swt1d_level(x, fb, level):
             return conv.swt_analysis_long1d(x, fb.dec_lo, fb.dec_hi,
                                             level, rc)
     if _pallas_enabled() and x.ndim == 2:
+        if _mxu_wanted(fb):
+            r = _mx().swt1d_level_fused_mxu(x, fb, level)
+            if r is not None:
+                return r
         r = _pk().swt1d_level_fused(x, fb, level)
         if r is not None:
             return r
@@ -48,6 +57,10 @@ def iswt1d_level(a, d, fb, level):
             return conv.swt_synthesis_long1d(a, d, fb.rec_lo, fb.rec_hi,
                                              level, rc)
     if _pallas_enabled() and a.ndim == 2:
+        if _mxu_wanted(fb):
+            r = _mx().iswt1d_level_fused_mxu(a, d, fb, level)
+            if r is not None:
+                return r
         r = _pk().iswt1d_level_fused(a, d, fb, level)
         if r is not None:
             return r
@@ -57,8 +70,13 @@ def iswt1d_level(a, d, fb, level):
 def swt2d_level(x, fb, level):
     """One stationary 2D analysis level -> (a, h, v, d).
 
-    On TPU, covered shapes run as one fused Pallas kernel."""
+    On TPU, covered shapes run as one fused Pallas kernel (banded MXU
+    dots for wide filters, VPU tap loops otherwise)."""
     if _pallas_enabled():
+        if _mxu_wanted(fb):
+            r = _mx().swt2d_level_fused_mxu(x, fb, level)
+            if r is not None:
+                return r
         r = _pk().swt2d_level_fused(x, fb, level)
         if r is not None:
             return r
@@ -74,6 +92,10 @@ def swt2d_level(x, fb, level):
 def iswt2d_level(a, h, v, d, fb, level):
     """One stationary 2D synthesis level (column pass then row pass)."""
     if _pallas_enabled():
+        if _mxu_wanted(fb):
+            r = _mx().iswt2d_level_fused_mxu(a, h, v, d, fb, level)
+            if r is not None:
+                return r
         r = _pk().iswt2d_level_fused(a, h, v, d, fb, level)
         if r is not None:
             return r

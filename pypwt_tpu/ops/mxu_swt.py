@@ -1,0 +1,465 @@
+"""Fused stationary (a-trous) level kernels on the MXU (Pallas / Mosaic).
+
+The VPU a-trous kernels (ops/pallas_dwt.py::_swt2d_kernel) pay one VMEM
+traversal per filter tap per pass, so wide wavelets scale linearly in
+hlen (the same effect measured for the decimating kernels: sym8 2.65x
+db2 at identical traffic).  Here each dilated stationary pass runs as a
+sequence of banded MXU dots instead: a block of ``b`` output rows of
+(lo, hi) is one fp32 dot ``D (2b, K) @ xp_slice (K, W)`` with
+``K = b + (hlen-1) * 2^(level-1)`` — tap-count-independent like
+ops/mxu_dwt.py, at the price of also multiplying the dilation zeros.
+``b`` is chosen per (hlen, level) to minimise MXU passes per output row,
+so the relative cost grows with the dilation; dispatch (core/swt.py)
+routes wide filters here and keeps the VPU tap loops for short ones.
+
+Precision: HIGHEST (six-pass ~fp32) throughout, for the same measured
+reasons as ops/mxu_dwt.py (DEFAULT bf16 fails the reference's accuracy
+envelope).
+
+The banded matrices are built in float64 numpy straight from the
+reference a-trous index algebra (separable.cu:409-493 analysis,
+:553-626 synthesis; identical to conv.swt_analysis_last /
+conv.swt_synthesis_last) and verified against conv in
+tests/test_mxu_swt.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import pallas_dwt as pk
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _dot(D, x):
+    return jax.lax.dot(D, x, precision=HIGHEST,
+                       preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Banded dilated block matrices (float64 numpy, cast to f32 constants)
+# ---------------------------------------------------------------------------
+
+def swt_analysis_matrix(dec_lo, dec_hi, b, level):
+    """D (2b, K), K = b + (hlen-1)*t: rows [lo_b; hi_b] of the a-trous
+    analysis map out[i] = sum_k f[k] x[i + (s-k)*t] with s = hlen//2 and
+    t = 2^(level-1) (conv.swt_analysis_last / separable.cu:409-448).
+    Operates on input slices padded with lpad = (hlen-1-s)*t on the
+    left."""
+    flo = np.asarray(dec_lo, np.float64)
+    fhi = np.asarray(dec_hi, np.float64)
+    hlen = len(flo)
+    t = 1 << (level - 1)
+    s = hlen // 2
+    lpad = (hlen - 1 - s) * t
+    K = b + (hlen - 1) * t
+    D = np.zeros((2 * b, K), np.float64)
+    for i in range(b):
+        for k in range(hlen):
+            j = lpad + (s - k) * t + i
+            D[i, j] += flo[k]
+            D[b + i, j] += fhi[k]
+    return np.ascontiguousarray(D, np.float32), K
+
+
+def swt_synthesis_matrix(rec_lo, rec_hi, b, level):
+    """S (b, 2K), K = b + (hlen-1)*t: the a-trous synthesis map from
+    stacked [lo_slice; hi_slice] to b outputs, including the reference's
+    1/2-per-pass rescale (conv.swt_synthesis_last / separable.cu:553-584).
+    s = hlen//2 - 1 for even hlen."""
+    flo = np.asarray(rec_lo, np.float64)
+    fhi = np.asarray(rec_hi, np.float64)
+    hlen = len(flo)
+    t = 1 << (level - 1)
+    s = hlen // 2 - 1 if hlen % 2 == 0 else hlen // 2
+    lpad = (hlen - 1 - s) * t
+    K = b + (hlen - 1) * t
+    S = np.zeros((b, 2 * K), np.float64)
+    for i in range(b):
+        for k in range(hlen):
+            j = lpad + (s - k) * t + i
+            S[i, j] += flo[k] * 0.5
+            S[i, K + j] += fhi[k] * 0.5
+    return np.ascontiguousarray(S, np.float32), K
+
+
+def _pick_b(span, L, row_mult, k_mult):
+    """Output-block size minimising MXU tile passes per output row for a
+    banded matrix with ``row_mult*b`` rows and ``k_mult*(b+span)``
+    contraction length; L bounds the block."""
+    cap = max(8, min(512, L))
+    best_b, best_c = None, None
+    for b in range(8, cap + 1, 8):
+        K = b + span
+        c = (math.ceil(row_mult * b / 128)
+             * math.ceil(k_mult * K / 128)) / b
+        if best_c is None or c < best_c - 1e-12:
+            best_b, best_c = b, c
+    return min(best_b, L)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel banded-dot a-trous passes (sublane axis)
+# ---------------------------------------------------------------------------
+
+def _swt_ana_dots(xp, Dm, Dr, b, K, L):
+    """A-trous analysis on padded xp (L + span, W) -> lo, hi (L, W)."""
+    los, his = [], []
+    nfull = L // b
+    for q in range(nfull):
+        y = _dot(Dm, xp[b * q: b * q + K, :])
+        los.append(y[:b, :])
+        his.append(y[b:, :])
+    r = L - nfull * b
+    if r:
+        Kr = Dr.shape[1]
+        y = _dot(Dr, xp[b * nfull: b * nfull + Kr, :])
+        los.append(y[:r, :])
+        his.append(y[r:, :])
+    lo = jnp.concatenate(los, axis=0) if len(los) > 1 else los[0]
+    hi = jnp.concatenate(his, axis=0) if len(his) > 1 else his[0]
+    return lo, hi
+
+
+def _swt_syn_dots(lop, hip, Sm, Sr, b, K, L):
+    """A-trous synthesis of padded planes (L + span, W) -> (L, W)."""
+    outs = []
+    nfull = L // b
+    for q in range(nfull):
+        z = jnp.concatenate([lop[b * q: b * q + K, :],
+                             hip[b * q: b * q + K, :]], axis=0)
+        outs.append(_dot(Sm, z))
+    r = L - nfull * b
+    if r:
+        Kr = Sr.shape[1] // 2
+        z = jnp.concatenate([lop[b * nfull: b * nfull + Kr, :],
+                             hip[b * nfull: b * nfull + Kr, :]], axis=0)
+        outs.append(_dot(Sr, z))
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
+# ---------------------------------------------------------------------------
+# Fused 2D analysis level
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=512)
+def _build_swt2d_mxu(nr, nc, flo, fhi, level, interpret):
+    hlen = len(flo)
+    t = 1 << (level - 1)
+    span = (hlen - 1) * t
+    lp, rp, _, _ = pk._swt_pads(hlen, level, inverse=False)
+    bands = pk._pick_bands_swt(nr, nc, lp, rp, n_bufs=6)
+    if bands is None:
+        return None
+    ib, hh = bands
+    b = _pick_b(span, min(ib, nc), row_mult=2, k_mult=1)
+    if b < 1:
+        return None
+
+    Dm, K = swt_analysis_matrix(flo, fhi, b, level)
+    mats = [Dm]
+    rems = []
+    for L in (ib, nc):
+        r = L - (L // b) * b
+        if r:
+            rems.append(len(mats))
+            mats.append(swt_analysis_matrix(flo, fhi, r, level)[0])
+        else:
+            rems.append(None)
+
+    top, body, bot = pk._halo_specs(ib, hh, nr, nc)
+    d_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ib, nc), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr, nc), jnp.float32)
+    n_mats = len(mats)
+
+    def kern(*refs):
+        ms = [refs[i][:, :] for i in range(n_mats)]
+        top_ref, body_ref, bot_ref = refs[n_mats:n_mats + 3]
+        a_ref, h_ref, v_ref, d_ref = refs[n_mats + 3:]
+        Dr_row = ms[rems[0]] if rems[0] is not None else None
+        Dr_col = ms[rems[1]] if rems[1] is not None else None
+
+        rows = pk._gather_rows(top_ref, body_ref, bot_ref, lp, rp)
+        lo_r, hi_r = _swt_ana_dots(rows, ms[0], Dr_row, b, K, ib)
+
+        def cols(x):
+            tp = pk._pad_lanes_T(x, lp, rp)
+            l2, h2 = _swt_ana_dots(tp, ms[0], Dr_col, b, K, nc)
+            return l2.T, h2.T
+
+        a, v = cols(lo_r)
+        h, d = cols(hi_r)
+        a_ref[:, :] = a
+        h_ref[:, :] = h
+        v_ref[:, :] = v
+        d_ref[:, :] = d
+
+    call = pl.pallas_call(
+        kern, grid=(nr // ib,),
+        in_specs=[d_spec] * n_mats + [top, body, bot],
+        out_specs=[out_spec] * 4, out_shape=[out_sds] * 4,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+    # numpy (NOT jnp) constants: the builder is lru_cached and may first
+    # run inside a jit trace (see ops/mxu_dwt.py)
+    mats_j = [np.asarray(m) for m in mats]
+
+    def fused(x):
+        return call(*mats_j, x, x, x)
+
+    return fused
+
+
+def swt2d_level_fused_mxu(x, fb, level):
+    """One fused stationary analysis level on the MXU; None if
+    uncovered."""
+    if x.ndim not in (2, 3) or x.dtype != jnp.float32:
+        return None
+    nr, nc = x.shape[-2], x.shape[-1]
+    lp, rp, _, _ = pk._swt_pads(fb.hlen, level, inverse=False)
+    if max(lp, rp) > min(nr, nc):
+        return None  # support exceeds image; jnp path wraps correctly
+    f = _build_swt2d_mxu(nr, nc, pk._taps(fb.dec_lo), pk._taps(fb.dec_hi),
+                         level, pk._interpret())
+    if f is None:
+        return None
+    if x.ndim == 3:
+        return tuple(jax.vmap(f)(x))
+    return tuple(f(x))
+
+
+# ---------------------------------------------------------------------------
+# Fused 2D synthesis level
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=512)
+def _build_iswt2d_mxu(nr, nc, flo, fhi, level, interpret):
+    hlen = len(flo)
+    t = 1 << (level - 1)
+    span = (hlen - 1) * t
+    lp, rp, _, _ = pk._swt_pads(hlen, level, inverse=True)
+    bands = pk._pick_bands_swt(nr, nc, lp, rp, n_bufs=14)
+    if bands is None:
+        return None
+    ib, hh = bands
+    b = _pick_b(span, min(ib, nc), row_mult=1, k_mult=2)
+    if b < 1:
+        return None
+
+    Sm, K = swt_synthesis_matrix(flo, fhi, b, level)
+    mats = [Sm]
+    rems = []
+    for L in (ib, nc):
+        r = L - (L // b) * b
+        if r:
+            rems.append(len(mats))
+            mats.append(swt_synthesis_matrix(flo, fhi, r, level)[0])
+        else:
+            rems.append(None)
+
+    top, body, bot = pk._halo_specs(ib, hh, nr, nc)
+    d_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ib, nc), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr, nc), jnp.float32)
+    n_mats = len(mats)
+
+    def kern(*refs):
+        ms = [refs[i][:, :] for i in range(n_mats)]
+        blocks = refs[n_mats:n_mats + 12]
+        out_ref = refs[n_mats + 12]
+        Sr_row = ms[rems[0]] if rems[0] is not None else None
+        Sr_col = ms[rems[1]] if rems[1] is not None else None
+
+        ar = pk._gather_rows(*blocks[0:3], lp, rp)
+        hr = pk._gather_rows(*blocks[3:6], lp, rp)
+        vr = pk._gather_rows(*blocks[6:9], lp, rp)
+        dr = pk._gather_rows(*blocks[9:12], lp, rp)
+
+        t1 = _swt_syn_dots(ar, hr, ms[0], Sr_row, b, K, ib)
+        t2 = _swt_syn_dots(vr, dr, ms[0], Sr_row, b, K, ib)
+
+        lop = pk._pad_lanes_T(t1, lp, rp)
+        hip = pk._pad_lanes_T(t2, lp, rp)
+        out_ref[:, :] = _swt_syn_dots(lop, hip, ms[0], Sr_col, b, K,
+                                      nc).T
+
+    call = pl.pallas_call(
+        kern, grid=(nr // ib,),
+        in_specs=[d_spec] * n_mats + [top, body, bot] * 4,
+        out_specs=out_spec, out_shape=out_sds,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+    mats_j = [np.asarray(m) for m in mats]  # numpy, not jnp: see above
+
+    def fused(a, h, v, d):
+        return call(*mats_j, a, a, a, h, h, h, v, v, v, d, d, d)
+
+    return fused
+
+
+def iswt2d_level_fused_mxu(a, h, v, d, fb, level):
+    """One fused stationary synthesis level on the MXU; None if
+    uncovered."""
+    if a.ndim not in (2, 3) or a.dtype != jnp.float32:
+        return None
+    if not (a.shape == h.shape == v.shape == d.shape):
+        return None
+    nr, nc = a.shape[-2], a.shape[-1]
+    lp, rp, _, _ = pk._swt_pads(fb.hlen, level, inverse=True)
+    if max(lp, rp) > min(nr, nc):
+        return None
+    f = _build_iswt2d_mxu(nr, nc, pk._taps(fb.rec_lo), pk._taps(fb.rec_hi),
+                          level, pk._interpret())
+    if f is None:
+        return None
+    if a.ndim == 3:
+        return jax.vmap(f)(a, h, v, d)
+    return f(a, h, v, d)
+
+
+# ---------------------------------------------------------------------------
+# Fused batched-1D levels (lane-axis transform via transposed dots)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=512)
+def _build_swt1d_mxu(nr, nc, flo, fhi, level, interpret):
+    hlen = len(flo)
+    t = 1 << (level - 1)
+    span = (hlen - 1) * t
+    lp, rp, _, _ = pk._swt_pads(hlen, level, inverse=False)
+    bands = pk._pick_bands_swt(nr, nc, 0, 0, n_bufs=6)
+    if bands is None:
+        return None
+    ib, _ = bands
+    b = _pick_b(span, nc, row_mult=2, k_mult=1)
+    if b < 1:
+        return None
+    Dm, K = swt_analysis_matrix(flo, fhi, b, level)
+    mats = [Dm]
+    r = nc - (nc // b) * b
+    if r:
+        mats.append(swt_analysis_matrix(flo, fhi, r, level)[0])
+    n_mats = len(mats)
+
+    d_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    body = pl.BlockSpec((ib, nc), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ib, nc), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr, nc), jnp.float32)
+
+    def kern(*refs):
+        ms = [refs[i][:, :] for i in range(n_mats)]
+        body_ref = refs[n_mats]
+        lo_ref, hi_ref = refs[n_mats + 1:]
+        Dr = ms[1] if n_mats > 1 else None
+        tp = pk._pad_lanes_T(body_ref[:, :], lp, rp)
+        lo, hi = _swt_ana_dots(tp, ms[0], Dr, b, K, nc)
+        lo_ref[:, :] = lo.T
+        hi_ref[:, :] = hi.T
+
+    call = pl.pallas_call(
+        kern, grid=(nr // ib,),
+        in_specs=[d_spec] * n_mats + [body],
+        out_specs=[out_spec] * 2, out_shape=[out_sds] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+    mats_j = [np.asarray(m) for m in mats]  # numpy, not jnp: see above
+    return lambda x: tuple(call(*mats_j, x))
+
+
+def swt1d_level_fused_mxu(x, fb, level):
+    """One fused batched-1D stationary analysis level on the MXU; None
+    if uncovered."""
+    if x.ndim != 2 or x.dtype != jnp.float32:
+        return None
+    lp, rp, _, _ = pk._swt_pads(fb.hlen, level, inverse=False)
+    if max(lp, rp) > x.shape[1]:
+        return None
+    f = _build_swt1d_mxu(x.shape[0], x.shape[1], pk._taps(fb.dec_lo),
+                         pk._taps(fb.dec_hi), level, pk._interpret())
+    if f is None:
+        return None
+    return f(x)
+
+
+@functools.lru_cache(maxsize=512)
+def _build_iswt1d_mxu(nr, nc, flo, fhi, level, interpret):
+    hlen = len(flo)
+    t = 1 << (level - 1)
+    span = (hlen - 1) * t
+    lp, rp, _, _ = pk._swt_pads(hlen, level, inverse=True)
+    bands = pk._pick_bands_swt(nr, nc, 0, 0, n_bufs=8)
+    if bands is None:
+        return None
+    ib, _ = bands
+    b = _pick_b(span, nc, row_mult=1, k_mult=2)
+    if b < 1:
+        return None
+    Sm, K = swt_synthesis_matrix(flo, fhi, b, level)
+    mats = [Sm]
+    r = nc - (nc // b) * b
+    if r:
+        mats.append(swt_synthesis_matrix(flo, fhi, r, level)[0])
+    n_mats = len(mats)
+
+    d_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_spec = pl.BlockSpec((ib, nc), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ib, nc), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr, nc), jnp.float32)
+
+    def kern(*refs):
+        ms = [refs[i][:, :] for i in range(n_mats)]
+        a_ref, dd_ref, out_ref = refs[n_mats:]
+        Sr = ms[1] if n_mats > 1 else None
+        lop = pk._pad_lanes_T(a_ref[:, :], lp, rp)
+        hip = pk._pad_lanes_T(dd_ref[:, :], lp, rp)
+        out_ref[:, :] = _swt_syn_dots(lop, hip, ms[0], Sr, b, K, nc).T
+
+    call = pl.pallas_call(
+        kern, grid=(nr // ib,),
+        in_specs=[d_spec] * n_mats + [in_spec, in_spec],
+        out_specs=out_spec, out_shape=out_sds,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+    mats_j = [np.asarray(m) for m in mats]  # numpy, not jnp: see above
+    return lambda a, d: call(*mats_j, a, d)
+
+
+def iswt1d_level_fused_mxu(a, d, fb, level):
+    """One fused batched-1D stationary synthesis level on the MXU; None
+    if uncovered."""
+    if a.ndim != 2 or a.dtype != jnp.float32 or a.shape != d.shape:
+        return None
+    lp, rp, _, _ = pk._swt_pads(fb.hlen, level, inverse=True)
+    if max(lp, rp) > a.shape[1]:
+        return None
+    f = _build_iswt1d_mxu(a.shape[0], a.shape[1], pk._taps(fb.rec_lo),
+                          pk._taps(fb.rec_hi), level, pk._interpret())
+    if f is None:
+        return None
+    return f(a, d)

@@ -1,0 +1,176 @@
+"""Banded MXU a-trous kernels vs the jnp oracle (interpret mode on CPU).
+
+The dilated block matrices are built straight from the reference a-trous
+index algebra (ops/mxu_swt.py); these tests verify them against
+conv.swt_analysis_last / conv.swt_synthesis_last on random data, then
+run the fused kernels differentially against the jnp path, mirroring
+tests/test_mxu.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pypwt_tpu.filters import get_filter_bank
+from pypwt_tpu.core import conv, dwt, swt
+from pypwt_tpu.ops import mxu_swt as mxs
+
+WIDE = ["db4", "sym8", "coif3", "bior4.4", "db10"]
+
+
+def _rand(shape):
+    return jnp.asarray(
+        np.random.default_rng(7).random(shape, dtype=np.float32))
+
+
+@pytest.mark.parametrize("wname", ["db2", "sym8", "db10"])
+@pytest.mark.parametrize("level", [1, 2, 3])
+def test_swt_analysis_matrix_matches_conv(wname, level):
+    fb = get_filter_bank(wname)
+    hlen = fb.hlen
+    t = 1 << (level - 1)
+    s = hlen // 2
+    lpad = (hlen - 1 - s) * t
+    for b in (24, 5, 1):
+        D, K = mxs.swt_analysis_matrix(fb.dec_lo, fb.dec_hi, b, level)
+        xp = np.random.default_rng(1).random((K, 16))
+        flo = np.asarray(fb.dec_lo, np.float64)
+        fhi = np.asarray(fb.dec_hi, np.float64)
+        want_lo = np.zeros((b, 16))
+        want_hi = np.zeros((b, 16))
+        for i in range(b):
+            for k in range(hlen):
+                j = lpad + (s - k) * t + i
+                want_lo[i] += flo[k] * xp[j]
+                want_hi[i] += fhi[k] * xp[j]
+        y = D.astype(np.float64) @ xp
+        assert np.abs(y[:b] - want_lo).max() < 1e-6
+        assert np.abs(y[b:] - want_hi).max() < 1e-6
+
+
+@pytest.mark.parametrize("wname", ["db2", "sym8"])
+@pytest.mark.parametrize("level", [1, 2])
+def test_swt_synthesis_matrix_matches_conv(wname, level):
+    """S applied to periodically padded full-length planes must equal
+    conv.swt_synthesis_last."""
+    fb = get_filter_bank(wname)
+    hlen = fb.hlen
+    t = 1 << (level - 1)
+    s = hlen // 2 - 1 if hlen % 2 == 0 else hlen // 2
+    lpad, rpad = (hlen - 1 - s) * t, max(s, 0) * t
+    n = 64
+    rng = np.random.default_rng(2)
+    lo = rng.random((n, 8))
+    hi = rng.random((n, 8))
+    want = conv.swt_synthesis_last(
+        jnp.asarray(lo.T), jnp.asarray(hi.T),
+        fb.rec_lo, fb.rec_hi, level)
+    b = 16
+    S, K = mxs.swt_synthesis_matrix(fb.rec_lo, fb.rec_hi, b, level)
+    lop = np.concatenate([lo[n - lpad:], lo, lo[:rpad]], axis=0)
+    hip = np.concatenate([hi[n - lpad:], hi, hi[:rpad]], axis=0)
+    got = np.zeros((n, 8))
+    for q in range(n // b):
+        z = np.concatenate([lop[b * q: b * q + K],
+                            hip[b * q: b * q + K]], axis=0)
+        got[b * q: b * q + b] = S.astype(np.float64) @ z
+    assert np.abs(got - np.asarray(want).T).max() < 1e-6
+
+
+@pytest.mark.parametrize("wname", WIDE)
+@pytest.mark.parametrize("shape", [(64, 128), (128, 64), (256, 256)])
+@pytest.mark.parametrize("level", [1, 2, 3])
+def test_mxu_swt2d_matches_jnp(wname, shape, level):
+    fb = get_filter_bank(wname)
+    x = _rand(shape)
+    got = mxs.swt2d_level_fused_mxu(x, fb, level)
+    lp, rp, _, _ = __import__(
+        "pypwt_tpu.ops.pallas_dwt", fromlist=["x"])._swt_pads(
+            fb.hlen, level, inverse=False)
+    if max(lp, rp) > min(shape):
+        assert got is None
+        return
+    assert got is not None
+    t1, t2 = conv.swt_analysis_last(x, fb.dec_lo, fb.dec_hi, level), None
+    lo_r, hi_r = t1
+    ref = []
+    for src in (lo_r, hi_r):
+        st = jnp.swapaxes(src, -1, -2)
+        a_, b_ = conv.swt_analysis_last(st, fb.dec_lo, fb.dec_hi, level)
+        ref.append(jnp.swapaxes(a_, -1, -2))
+        ref.append(jnp.swapaxes(b_, -1, -2))
+    # conv order: (a, h) from lo, (v, d) from hi -> fused returns a,h,v,d
+    want = (ref[0], ref[1], ref[2], ref[3])
+    for g, r in zip(got, want):
+        assert float(jnp.abs(g - r.astype(jnp.float32)).max()) < 2e-5
+
+
+@pytest.mark.parametrize("wname", WIDE)
+@pytest.mark.parametrize("level", [1, 2])
+def test_mxu_swt2d_roundtrip(wname, level):
+    fb = get_filter_bank(wname)
+    x = _rand((128, 256))
+    c = mxs.swt2d_level_fused_mxu(x, fb, level)
+    assert c is not None
+    y = mxs.iswt2d_level_fused_mxu(*c, fb, level)
+    assert y is not None
+    assert float(jnp.abs(y - x).max()) < 1e-5
+
+
+@pytest.mark.parametrize("wname", ["sym8"])
+def test_mxu_swt2d_multilevel_dispatch(wname):
+    """Full swt2d/iswt2d through the kernel dispatch in 'mxu' mode
+    matches the jnp path."""
+    fb = get_filter_bank(wname)
+    x = _rand((128, 128))
+    try:
+        dwt.set_kernels("jnp")
+        ref = swt.swt2d(x, fb, 2)
+        refy = swt.iswt2d([c for c in ref], fb)
+        dwt.set_kernels("mxu")
+        got = swt.swt2d(x, fb, 2)
+        goty = swt.iswt2d([c for c in got], fb)
+    finally:
+        dwt.set_kernels("auto")
+    flat_r = [ref[0]] + [p for lv in ref[1:] for p in lv]
+    flat_g = [got[0]] + [p for lv in got[1:] for p in lv]
+    for g, r in zip(flat_g, flat_r):
+        assert float(jnp.abs(g - r.astype(jnp.float32)).max()) < 5e-5
+    assert float(jnp.abs(goty - refy.astype(jnp.float32)).max()) < 5e-5
+    assert float(jnp.abs(goty - x).max()) < 5e-5
+
+
+def test_mxu_swt2d_batched_vmap():
+    fb = get_filter_bank("sym8")
+    x = _rand((3, 64, 128))
+    got = mxs.swt2d_level_fused_mxu(x, fb, 1)
+    assert got is not None
+    for g in got:
+        assert g.shape == x.shape
+    y = mxs.iswt2d_level_fused_mxu(*got, fb, 1)
+    assert float(jnp.abs(y - x).max()) < 1e-5
+
+
+@pytest.mark.parametrize("wname", ["db4", "sym8"])
+@pytest.mark.parametrize("level", [1, 2, 3])
+def test_mxu_swt1d_matches_jnp(wname, level):
+    fb = get_filter_bank(wname)
+    x = _rand((64, 256))
+    want = conv.swt_analysis_last(x, fb.dec_lo, fb.dec_hi, level)
+    got = mxs.swt1d_level_fused_mxu(x, fb, level)
+    assert got is not None
+    for g, r in zip(got, want):
+        assert float(jnp.abs(g - r.astype(jnp.float32)).max()) < 2e-5
+    y = mxs.iswt1d_level_fused_mxu(*got, fb, level)
+    assert y is not None
+    yref = conv.swt_synthesis_last(want[0], want[1], fb.rec_lo,
+                                   fb.rec_hi, level)
+    assert float(jnp.abs(y - yref.astype(jnp.float32)).max()) < 2e-5
+
+
+def test_mxu_swt_support_guard():
+    """Deep dilation exceeding the image declines (jnp path wraps)."""
+    fb = get_filter_bank("db10")
+    assert mxs.swt2d_level_fused_mxu(_rand((32, 32)), fb, 4) is None
+    assert mxs.swt1d_level_fused_mxu(_rand((8, 32)), fb, 4) is None
