@@ -131,6 +131,17 @@ def main():
            lambda: timeit_chained(rt_swt, s0, iters=max(16, iters // 4)),
            lambda: rt_err(rt_swt, s0))
 
+    # wide-filter SWT: auto mode routes hlen >= 6 to the banded MXU
+    # a-trous kernels (ops/mxu_swt.py); tap-count-independent cost vs
+    # the VPU loops' linear-in-hlen
+    if not args.quick:
+        fbw8 = get_filter_bank("sym8")
+        rt_swt8 = lambda v: swt.iswt2d(swt.swt2d(v, fbw8, 3), fbw8)
+        record("swt2d_roundtrip_sym8_L3_1024",
+               lambda: timeit_chained(rt_swt8, s0,
+                                      iters=max(16, iters // 4)),
+               lambda: rt_err(rt_swt8, s0))
+
     # denoise pipeline 2048^2 (thresholding changes values by design:
     # gate on the underlying transform roundtrip instead)
     def denoise(v):

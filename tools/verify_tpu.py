@@ -173,9 +173,13 @@ def main():
         try:
             err = fwd_err(lambda v, fb=fb: dwt.wavedec2(v, fb, 2),
                           xf, fo.fft_wavedec2(xf_host, fb, 2))
+            err_s = fwd_err(lambda v, fb=fb: swt.swt2d(v, fb, 2),
+                            xf, fo.fft_swt2d(xf_host, fb, 2))
         finally:
             dwt.set_kernels("auto")
         record(wname, "fwd_dwt2d_L2_mxu_vs_oracle", err,
+               3e-4 * 4 * SCALE)
+        record(wname, "fwd_swt2d_L2_mxu_vs_oracle", err_s,
                3e-4 * 4 * SCALE)
 
     # ---- non-separable (outer-product bank == separable oracle) ----
