@@ -22,13 +22,52 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from .filters import get_filter_bank
+from .filters import get_filter_bank, wavelist  # noqa: F401 (re-export)
 from .core import dwt as _dwt
 from .core import swt as _swt
 from .core.shapes import clamp_levels, div2
 
 
+class Wavelet:
+    """pywt-style wavelet object over a built-in (or custom) bank.
+
+    Exposes the four filters as Python lists plus the usual metadata
+    attributes, so code written against ``pywt.Wavelet`` ports directly:
+
+        >>> w = Wavelet("db4")
+        >>> w.dec_len, w.orthogonal
+        (8, True)
+        >>> cA, cD = dwt(sig, w)
+    """
+
+    def __init__(self, name, filter_bank=None):
+        self._fb = filter_bank if filter_bank is not None \
+            else get_filter_bank(name)
+        self.name = name if filter_bank is not None else self._fb.name
+
+    @property
+    def filter_bank(self):
+        return (self.dec_lo, self.dec_hi, self.rec_lo, self.rec_hi)
+
+    dec_lo = property(lambda self: list(self._fb.dec_lo))
+    dec_hi = property(lambda self: list(self._fb.dec_hi))
+    rec_lo = property(lambda self: list(self._fb.rec_lo))
+    rec_hi = property(lambda self: list(self._fb.rec_hi))
+    dec_len = property(lambda self: self._fb.hlen)
+    rec_len = property(lambda self: self._fb.hlen)
+    orthogonal = property(lambda self: bool(self._fb.orthogonal))
+
+    @property
+    def short_family_name(self):
+        return self.name.rstrip("0123456789.")
+
+    def __repr__(self):
+        return f"Wavelet({self.name!r}, dec_len={self.dec_len})"
+
+
 def _fb(wavelet):
+    if isinstance(wavelet, Wavelet):
+        return wavelet._fb
     return wavelet if hasattr(wavelet, "dec_lo") else \
         get_filter_bank(wavelet)
 

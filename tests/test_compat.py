@@ -64,3 +64,19 @@ def test_swt_iswt_1d_roundtrip():
     coeffs = pwt.swt(x, "bior2.2", 2)
     rec = pwt.iswt(coeffs, "bior2.2")
     np.testing.assert_allclose(np.asarray(rec), x, atol=1e-9)
+
+
+def test_wavelet_object_and_wavelist():
+    assert "db2" in pwt.wavelist() and len(pwt.wavelist()) >= 72
+    w = pwt.Wavelet("db4")
+    assert w.dec_len == w.rec_len == 8
+    assert w.orthogonal and w.short_family_name == "db"
+    assert len(w.filter_bank) == 4 and isinstance(w.dec_lo, list)
+    # a Wavelet object is accepted anywhere a name is
+    x = RNG.standard_normal(64)
+    cA, cD = pwt.dwt(x, w)
+    rec = pwt.idwt(cA, cD, w)
+    np.testing.assert_allclose(np.asarray(rec), x, atol=1e-9)
+    coeffs = pwt.wavedec2(RNG.standard_normal((32, 32)), w, level=2)
+    rec2 = pwt.waverec2(coeffs, w)
+    assert rec2.shape == (32, 32)
