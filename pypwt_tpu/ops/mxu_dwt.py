@@ -483,3 +483,171 @@ def idwt1d_fused_mxu(a, d, fb, n_out):
     if f is None:
         return None
     return f(a, d)
+
+
+# ---------------------------------------------------------------------------
+# Sharded level kernels (ppermute edge halos; parallel/spatial.py).
+# Same banded-dot bodies as the unsharded builders, with the first/last
+# grid programs' wrapped halo blocks overridden by exchanged neighbor
+# rows — the MXU twin of pallas_dwt.build_dwt2d_sharded.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=512)
+def build_dwt2d_sharded_mxu(nr, nc, flo, fhi, interpret):
+    """(fused_fn, halo_rows) for one sharded analysis level on the MXU,
+    or None.  fused_fn(x, ext_top, ext_bot) -> (a, h, v, d)."""
+    hlen = len(flo)
+    if hlen % 2 or hlen < 4:
+        return None
+    lp, rp = conv.analysis_pads(hlen)
+    bands = pk._pick_bands(nr, nc, lp, rp, n_bufs=8, max_body=1024,
+                           budget=52 * 1024 * 1024)
+    if bands is None:
+        return None
+    ib, hh = bands
+    b = _ana_blocks(hlen)
+    if b < 1:
+        return None
+    L_row, L_col = ib // 2, nc // 2
+
+    Dm, K = analysis_matrix(flo, fhi, b)
+    mats = [Dm]
+    rems = []
+    for L in (L_row, L_col):
+        r = L - (L // b) * b
+        if r:
+            rems.append(len(mats))
+            mats.append(analysis_matrix(flo, fhi, r)[0])
+        else:
+            rems.append(None)
+
+    top, body, bot = pk._halo_specs(ib, hh, nr, nc)
+    ext = pl.BlockSpec((hh, nc), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM)
+    d_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ib // 2, nc // 2), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr // 2, nc // 2), jnp.float32)
+    n_mats = len(mats)
+
+    def kern(*refs):
+        ms = [refs[i][:, :] for i in range(n_mats)]
+        top_ref, body_ref, bot_ref, et_ref, eb_ref = \
+            refs[n_mats:n_mats + 5]
+        a_ref, h_ref, v_ref, d_ref = refs[n_mats + 5:]
+        Dr_row = ms[rems[0]] if rems[0] is not None else None
+        Dr_col = ms[rems[1]] if rems[1] is not None else None
+
+        topb, botb = pk._edge_override(top_ref, bot_ref, et_ref, eb_ref)
+        rows = pk._gather_rows(topb, body_ref, botb, lp, rp)
+        lo, hi = _ana_dots(rows, ms[0], Dr_row, b, K, L_row)
+
+        def cols(t):
+            tp = pk._pad_lanes_T(t, lp, rp)
+            l2, h2_ = _ana_dots(tp, ms[0], Dr_col, b, K, L_col)
+            return l2.T, h2_.T
+
+        a, v = cols(lo)
+        h, d = cols(hi)
+        a_ref[:, :] = a
+        h_ref[:, :] = h
+        v_ref[:, :] = v
+        d_ref[:, :] = d
+
+    call = pl.pallas_call(
+        kern, grid=(nr // ib,),
+        in_specs=[d_spec] * n_mats + [top, body, bot, ext, ext],
+        out_specs=[out_spec] * 4, out_shape=[out_sds] * 4,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+    mats_j = [np.asarray(m) for m in mats]  # numpy, not jnp
+
+    def fused(x, ext_top, ext_bot):
+        return call(*mats_j, x, x, x, ext_top, ext_bot)
+
+    return fused, hh
+
+
+@functools.lru_cache(maxsize=512)
+def build_idwt2d_sharded_mxu(nr_out, nc_out, flo, fhi, interpret):
+    """(fused_fn, halo_rows) for one sharded synthesis level on the MXU,
+    or None.  fused_fn(a, h, v, d, (a_t, a_b, ..., d_b)) -> image."""
+    hlen = len(flo)
+    if hlen % 2 or hlen < 4 or nr_out % 2 or nc_out % 2:
+        return None
+    lrows = nr_out // 2
+    w = nc_out // 2
+    lp, rp = conv.synthesis_pads(hlen, lrows, nr_out)
+    lpc, rpc = conv.synthesis_pads(hlen, w, nc_out)
+    m = _syn_blocks(hlen)
+    if m < 1:
+        return None
+    bands = pk._pick_bands(lrows, w, lp, rp, n_bufs=18, max_body=128)
+    if bands is None:
+        return None
+    tcb, hh = bands
+    L_row, L_col = tcb, w
+
+    Sm, Kp = synthesis_matrix(flo, fhi, m)
+    mats = [Sm]
+    rems = []
+    for L in (L_row, L_col):
+        r = L - (L // m) * m
+        if r:
+            rems.append(len(mats))
+            mats.append(synthesis_matrix(flo, fhi, r)[0])
+        else:
+            rems.append(None)
+
+    top, body, bot = pk._halo_specs(tcb, hh, lrows, w)
+    ext = pl.BlockSpec((hh, w), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM)
+    d_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((2 * tcb, nc_out), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr_out, nc_out), jnp.float32)
+    n_mats = len(mats)
+
+    def kern(*refs):
+        ms = [refs[i][:, :] for i in range(n_mats)]
+        blocks = refs[n_mats:n_mats + 12]
+        exts = refs[n_mats + 12:n_mats + 20]
+        out_ref = refs[n_mats + 20]
+        Sr_row = ms[rems[0]] if rems[0] is not None else None
+        Sr_col = ms[rems[1]] if rems[1] is not None else None
+
+        planes = []
+        for j in range(4):
+            t, bd, bo = blocks[3 * j: 3 * j + 3]
+            et, eb = exts[2 * j: 2 * j + 2]
+            tb, bb = pk._edge_override(t, bo, et, eb)
+            planes.append(pk._gather_rows(tb, bd, bb, lp, rp))
+        ar, hr, vr, dr = planes
+
+        t1 = _syn_dots(ar, hr, ms[0], Sr_row, m, Kp, L_row)
+        t2 = _syn_dots(vr, dr, ms[0], Sr_row, m, Kp, L_row)
+
+        lop = pk._pad_lanes_T(t1, lpc, rpc)
+        hip = pk._pad_lanes_T(t2, lpc, rpc)
+        out_ref[:, :] = _syn_dots(lop, hip, ms[0], Sr_col, m, Kp,
+                                  L_col).T
+
+    call = pl.pallas_call(
+        kern, grid=(lrows // tcb,),
+        in_specs=([d_spec] * n_mats + [top, body, bot] * 4
+                  + [ext] * 8),
+        out_specs=out_spec, out_shape=out_sds,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+    mats_j = [np.asarray(mm) for mm in mats]  # numpy, not jnp
+
+    def fused(a, h, v, d, halos):
+        a_t, a_b, h_t, h_b, v_t, v_b, d_t, d_b = halos
+        return call(*mats_j, a, a, a, h, h, h, v, v, v, d, d, d,
+                    a_t, a_b, h_t, h_b, v_t, v_b, d_t, d_b)
+
+    return fused, hh

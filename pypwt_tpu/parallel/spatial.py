@@ -36,6 +36,11 @@ def _pk():
     return pallas_dwt
 
 
+def _mx():
+    from ..ops import mxu_dwt
+    return mxu_dwt
+
+
 def _taps(f):
     import numpy as np
     return tuple(float(v) for v in np.asarray(f, dtype=np.float64))
@@ -156,9 +161,15 @@ def _dwt2d_level_sharded(a, fb, axis_name, axis_size):
     if axis_size == 1:
         return _dwt.dwt2d(a, fb)  # locally periodic: wrapped kernels
     if _fused_ok(a):
-        built = _pk().build_dwt2d_sharded(
-            a.shape[-2], a.shape[-1], _taps(fb.dec_lo), _taps(fb.dec_hi),
-            _pk()._interpret())
+        built = None
+        if _dwt._mxu_wanted(fb):  # wide filters: banded MXU dots
+            built = _mx().build_dwt2d_sharded_mxu(
+                a.shape[-2], a.shape[-1], _taps(fb.dec_lo),
+                _taps(fb.dec_hi), _pk()._interpret())
+        if built is None:
+            built = _pk().build_dwt2d_sharded(
+                a.shape[-2], a.shape[-1], _taps(fb.dec_lo),
+                _taps(fb.dec_hi), _pk()._interpret())
         if built is not None:
             f, hh = built
             top = _rows_before(a, hh, axis_name, axis_size)
@@ -177,9 +188,15 @@ def _idwt2d_level_sharded(a, h, v, d, fb, axis_name, axis_size):
     if axis_size == 1:
         return _dwt.idwt2d(a, h, v, d, fb, (nr_out, nc_out))
     if _fused_ok(a) and a.shape == h.shape == v.shape == d.shape:
-        built = _pk().build_idwt2d_sharded(
-            nr_out, nc_out, _taps(fb.rec_lo), _taps(fb.rec_hi),
-            _pk()._interpret())
+        built = None
+        if _dwt._mxu_wanted(fb):  # wide filters: banded MXU dots
+            built = _mx().build_idwt2d_sharded_mxu(
+                nr_out, nc_out, _taps(fb.rec_lo), _taps(fb.rec_hi),
+                _pk()._interpret())
+        if built is None:
+            built = _pk().build_idwt2d_sharded(
+                nr_out, nc_out, _taps(fb.rec_lo), _taps(fb.rec_hi),
+                _pk()._interpret())
         if built is not None:
             f, hh = built
             halos = []

@@ -104,3 +104,36 @@ def test_fused_sharded_falls_back_when_uncovered(pallas_mode):
     for a, b in zip(jax.tree.leaves(pyr), jax.tree.leaves(ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-5)
+
+
+@pytest.fixture
+def mxu_mode():
+    dwt.set_kernels("mxu")
+    try:
+        yield
+    finally:
+        dwt.set_kernels("auto")
+
+
+@pytest.mark.parametrize("wname", ["sym8", "db10"])
+def test_rowsharded_dwt_mxu_kernels(mxu_mode, wname):
+    """Wide filters on the row-sharded path route to the banded MXU
+    sharded builders (ops/mxu_dwt.py) and match the unsharded core."""
+    from pypwt_tpu.ops import mxu_dwt as mx
+    fb = get_filter_bank(wname)
+    img = _f32((256, 128))
+    n_rows = 4
+    assert mx.build_dwt2d_sharded_mxu(
+        256 // n_rows, 128, _taps(fb.dec_lo), _taps(fb.dec_hi),
+        True) is not None
+    assert mx.build_idwt2d_sharded_mxu(
+        256 // n_rows, 128, _taps(fb.rec_lo), _taps(fb.rec_hi),
+        True) is not None
+    m = pmesh.make_mesh(n_data=8 // n_rows, n_rows=n_rows)
+    pyr = spatial.wavedec2_rowsharded(img, fb, 2, m)
+    ref = jax.jit(lambda x: dwt.wavedec2(x, fb, 2))(img)
+    for a, b in zip(jax.tree.leaves(pyr), jax.tree.leaves(ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5)
+    y = spatial.waverec2_rowsharded(pyr, fb, m)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(img), atol=5e-5)
