@@ -463,3 +463,167 @@ def iswt1d_level_fused_mxu(a, d, fb, level):
     if f is None:
         return None
     return f(a, d)
+
+
+# ---------------------------------------------------------------------------
+# Sharded a-trous level kernels (ppermute edge halos; parallel/spatial.py)
+# — the MXU twins of pallas_dwt.build_swt2d_sharded/_iswt2d_sharded.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=512)
+def build_swt2d_sharded_mxu(nr, nc, flo, fhi, level, interpret):
+    """(fused_fn, halo_rows) for one sharded a-trous analysis level on
+    the MXU, or None.  fused_fn(x, ext_top, ext_bot) -> (a, h, v, d)."""
+    hlen = len(flo)
+    t = 1 << (level - 1)
+    span = (hlen - 1) * t
+    lp, rp, _, _ = pk._swt_pads(hlen, level, inverse=False)
+    if max(lp, rp) > nc:
+        return None  # column (local) axis wrap would need multi-wrap
+    bands = pk._pick_bands_swt(nr, nc, lp, rp, n_bufs=6)
+    if bands is None:
+        return None
+    ib, hh = bands
+    b = _pick_b(span, min(ib, nc), row_mult=2, k_mult=1)
+    if b < 1:
+        return None
+
+    Dm, K = swt_analysis_matrix(flo, fhi, b, level)
+    mats = [Dm]
+    rems = []
+    for L in (ib, nc):
+        r = L - (L // b) * b
+        if r:
+            rems.append(len(mats))
+            mats.append(swt_analysis_matrix(flo, fhi, r, level)[0])
+        else:
+            rems.append(None)
+
+    top, body, bot = pk._halo_specs(ib, hh, nr, nc)
+    ext = pl.BlockSpec((hh, nc), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM)
+    d_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ib, nc), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr, nc), jnp.float32)
+    n_mats = len(mats)
+
+    def kern(*refs):
+        ms = [refs[i][:, :] for i in range(n_mats)]
+        top_ref, body_ref, bot_ref, et_ref, eb_ref = \
+            refs[n_mats:n_mats + 5]
+        a_ref, h_ref, v_ref, d_ref = refs[n_mats + 5:]
+        Dr_row = ms[rems[0]] if rems[0] is not None else None
+        Dr_col = ms[rems[1]] if rems[1] is not None else None
+
+        topb, botb = pk._edge_override(top_ref, bot_ref, et_ref, eb_ref)
+        rows = pk._gather_rows(topb, body_ref, botb, lp, rp)
+        lo_r, hi_r = _swt_ana_dots(rows, ms[0], Dr_row, b, K, ib)
+
+        def cols(x):
+            tp = pk._pad_lanes_T(x, lp, rp)
+            l2, h2 = _swt_ana_dots(tp, ms[0], Dr_col, b, K, nc)
+            return l2.T, h2.T
+
+        a, v = cols(lo_r)
+        h, d = cols(hi_r)
+        a_ref[:, :] = a
+        h_ref[:, :] = h
+        v_ref[:, :] = v
+        d_ref[:, :] = d
+
+    call = pl.pallas_call(
+        kern, grid=(nr // ib,),
+        in_specs=[d_spec] * n_mats + [top, body, bot, ext, ext],
+        out_specs=[out_spec] * 4, out_shape=[out_sds] * 4,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+    mats_j = [np.asarray(m) for m in mats]  # numpy, not jnp
+
+    def fused(x, ext_top, ext_bot):
+        return call(*mats_j, x, x, x, ext_top, ext_bot)
+
+    return fused, hh
+
+
+@functools.lru_cache(maxsize=512)
+def build_iswt2d_sharded_mxu(nr, nc, flo, fhi, level, interpret):
+    """(fused_fn, halo_rows) for one sharded a-trous synthesis level on
+    the MXU, or None."""
+    hlen = len(flo)
+    t = 1 << (level - 1)
+    span = (hlen - 1) * t
+    lp, rp, _, _ = pk._swt_pads(hlen, level, inverse=True)
+    if max(lp, rp) > nc:
+        return None
+    bands = pk._pick_bands_swt(nr, nc, lp, rp, n_bufs=14)
+    if bands is None:
+        return None
+    ib, hh = bands
+    b = _pick_b(span, min(ib, nc), row_mult=1, k_mult=2)
+    if b < 1:
+        return None
+
+    Sm, K = swt_synthesis_matrix(flo, fhi, b, level)
+    mats = [Sm]
+    rems = []
+    for L in (ib, nc):
+        r = L - (L // b) * b
+        if r:
+            rems.append(len(mats))
+            mats.append(swt_synthesis_matrix(flo, fhi, r, level)[0])
+        else:
+            rems.append(None)
+
+    top, body, bot = pk._halo_specs(ib, hh, nr, nc)
+    ext = pl.BlockSpec((hh, nc), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM)
+    d_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ib, nc), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr, nc), jnp.float32)
+    n_mats = len(mats)
+
+    def kern(*refs):
+        ms = [refs[i][:, :] for i in range(n_mats)]
+        blocks = refs[n_mats:n_mats + 12]
+        exts = refs[n_mats + 12:n_mats + 20]
+        out_ref = refs[n_mats + 20]
+        Sr_row = ms[rems[0]] if rems[0] is not None else None
+        Sr_col = ms[rems[1]] if rems[1] is not None else None
+
+        planes = []
+        for j in range(4):
+            tpb, bd, bo = blocks[3 * j: 3 * j + 3]
+            et, eb = exts[2 * j: 2 * j + 2]
+            tb, bb = pk._edge_override(tpb, bo, et, eb)
+            planes.append(pk._gather_rows(tb, bd, bb, lp, rp))
+        ar, hr, vr, dr = planes
+
+        t1 = _swt_syn_dots(ar, hr, ms[0], Sr_row, b, K, ib)
+        t2 = _swt_syn_dots(vr, dr, ms[0], Sr_row, b, K, ib)
+
+        lop = pk._pad_lanes_T(t1, lp, rp)
+        hip = pk._pad_lanes_T(t2, lp, rp)
+        out_ref[:, :] = _swt_syn_dots(lop, hip, ms[0], Sr_col, b, K,
+                                      nc).T
+
+    call = pl.pallas_call(
+        kern, grid=(nr // ib,),
+        in_specs=([d_spec] * n_mats + [top, body, bot] * 4
+                  + [ext] * 8),
+        out_specs=out_spec, out_shape=out_sds,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+    mats_j = [np.asarray(mm) for mm in mats]  # numpy, not jnp
+
+    def fused(a, h, v, d, halos):
+        a_t, a_b, h_t, h_b, v_t, v_b, d_t, d_b = halos
+        return call(*mats_j, a, a, a, h, h, h, v, v, v, d, d, d,
+                    a_t, a_b, h_t, h_b, v_t, v_b, d_t, d_b)
+
+    return fused, hh

@@ -322,9 +322,16 @@ def _swt2d_level_sharded(a, fb, lev, axis_name, axis_size):
     if axis_size == 1:
         return _swt.swt2d_level(a, fb, lev)
     if _fused_ok(a):
-        built = _pk().build_swt2d_sharded(
-            a.shape[-2], a.shape[-1], _taps(fb.dec_lo), _taps(fb.dec_hi),
-            lev, _pk()._interpret())
+        built = None
+        if _dwt._mxu_wanted(fb):  # wide filters: banded MXU dots
+            from ..ops import mxu_swt as _mxs
+            built = _mxs.build_swt2d_sharded_mxu(
+                a.shape[-2], a.shape[-1], _taps(fb.dec_lo),
+                _taps(fb.dec_hi), lev, _pk()._interpret())
+        if built is None:
+            built = _pk().build_swt2d_sharded(
+                a.shape[-2], a.shape[-1], _taps(fb.dec_lo),
+                _taps(fb.dec_hi), lev, _pk()._interpret())
         if built is not None:
             f, hh = built
             top = _rows_before(a, hh, axis_name, axis_size)
@@ -340,9 +347,16 @@ def _iswt2d_level_sharded(a, h, v, d, fb, lev, axis_name, axis_size):
     if axis_size == 1:
         return _swt.iswt2d_level(a, h, v, d, fb, lev)
     if _fused_ok(a) and a.shape == h.shape == v.shape == d.shape:
-        built = _pk().build_iswt2d_sharded(
-            a.shape[-2], a.shape[-1], _taps(fb.rec_lo), _taps(fb.rec_hi),
-            lev, _pk()._interpret())
+        built = None
+        if _dwt._mxu_wanted(fb):  # wide filters: banded MXU dots
+            from ..ops import mxu_swt as _mxs
+            built = _mxs.build_iswt2d_sharded_mxu(
+                a.shape[-2], a.shape[-1], _taps(fb.rec_lo),
+                _taps(fb.rec_hi), lev, _pk()._interpret())
+        if built is None:
+            built = _pk().build_iswt2d_sharded(
+                a.shape[-2], a.shape[-1], _taps(fb.rec_lo),
+                _taps(fb.rec_hi), lev, _pk()._interpret())
         if built is not None:
             f, hh = built
             halos = []

@@ -137,3 +137,26 @@ def test_rowsharded_dwt_mxu_kernels(mxu_mode, wname):
                                    atol=5e-5)
     y = spatial.waverec2_rowsharded(pyr, fb, m)
     np.testing.assert_allclose(np.asarray(y), np.asarray(img), atol=5e-5)
+
+
+def test_rowsharded_swt_mxu_kernels(mxu_mode):
+    """Wide-filter row-sharded SWT routes to the banded MXU a-trous
+    sharded builders and matches the unsharded core."""
+    from pypwt_tpu.ops import mxu_swt as mxs
+    fb = get_filter_bank("sym8")
+    img = _f32((128, 128))
+    n_rows = 4
+    assert mxs.build_swt2d_sharded_mxu(
+        128 // n_rows, 128, _taps(fb.dec_lo), _taps(fb.dec_hi), 1,
+        True) is not None
+    assert mxs.build_iswt2d_sharded_mxu(
+        128 // n_rows, 128, _taps(fb.rec_lo), _taps(fb.rec_hi), 1,
+        True) is not None
+    m = pmesh.make_mesh(n_data=8 // n_rows, n_rows=n_rows)
+    pyr = spatial.swt2d_rowsharded(img, fb, 2, m)
+    ref = jax.jit(lambda x: swt.swt2d(x, fb, 2))(img)
+    for a, b in zip(jax.tree.leaves(pyr), jax.tree.leaves(ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5)
+    y = spatial.iswt2d_rowsharded(pyr, fb, m)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(img), atol=5e-5)
