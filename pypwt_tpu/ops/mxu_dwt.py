@@ -651,3 +651,218 @@ def build_idwt2d_sharded_mxu(nr_out, nc_out, flo, fhi, interpret):
                     a_t, a_b, h_t, h_b, v_t, v_b, d_t, d_b)
 
     return fused, hh
+
+
+# ---------------------------------------------------------------------------
+# Padded-core kernels: banded dots over ALREADY-PADDED arrays (the MXU
+# twins of pallas_dwt.build_{ana,syn}_padded_{lanes,rows}; used by the
+# grid-sharded and seq-sharded paths after halo exchange).
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=512)
+def build_ana_padded_lanes_mxu(nr, ncp, L, flo, fhi, interpret):
+    """Decimating analysis along the last axis of an (nr, ncp) padded
+    array -> two (nr, L) outputs; None if uncovered."""
+    hlen = len(flo)
+    # the analysis matrix consumes slices of a plane padded by exactly
+    # hlen - 2 (conv.analysis_pads); other paddings fall back
+    if hlen % 2 or hlen < 4 or ncp != 2 * L + hlen - 2:
+        return None
+    bands = pk._pick_bands(nr, ncp, 0, 0, n_bufs=8)
+    if bands is None:
+        return None
+    ib, _ = bands
+    b = _ana_blocks(hlen)
+    Dm, K = analysis_matrix(flo, fhi, b)
+    mats = [Dm]
+    r = L - (L // b) * b
+    if r:
+        mats.append(analysis_matrix(flo, fhi, r)[0])
+    n_mats = len(mats)
+
+    d_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    body = pl.BlockSpec((ib, ncp), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ib, L), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr, L), jnp.float32)
+
+    def kern(*refs):
+        ms = [refs[i][:, :] for i in range(n_mats)]
+        body_ref = refs[n_mats]
+        lo_ref, hi_ref = refs[n_mats + 1:]
+        Dr = ms[1] if n_mats > 1 else None
+        lo, hi = _ana_dots(body_ref[:, :].T, ms[0], Dr, b, K, L)
+        lo_ref[:, :] = lo.T
+        hi_ref[:, :] = hi.T
+
+    call = pl.pallas_call(
+        kern, grid=(nr // ib,),
+        in_specs=[d_spec] * n_mats + [body],
+        out_specs=[out_spec] * 2, out_shape=[out_sds] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+    mats_j = [np.asarray(m) for m in mats]  # numpy, not jnp
+    return lambda x: call(*mats_j, x)
+
+
+@functools.lru_cache(maxsize=512)
+def build_ana_padded_rows_mxu(nrp, nc, L, flo, fhi, interpret):
+    """Decimating analysis along the ROW axis of an (nrp, nc) padded
+    array -> two (L, nc) outputs (no transposes anywhere)."""
+    hlen = len(flo)
+    if hlen % 2 or hlen < 4 or nrp != 2 * L + hlen - 2:
+        return None
+    cb = None
+    for cand in (512, 256, 128):
+        if nc % cand == 0 and nrp * cand * 4 * 8 <= _VMEM_BUDGET:
+            cb = cand
+            break
+    if cb is None:
+        return None
+    b = _ana_blocks(hlen)
+    Dm, K = analysis_matrix(flo, fhi, b)
+    mats = [Dm]
+    r = L - (L // b) * b
+    if r:
+        mats.append(analysis_matrix(flo, fhi, r)[0])
+    n_mats = len(mats)
+
+    d_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    body = pl.BlockSpec((nrp, cb), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((L, cb), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((L, nc), jnp.float32)
+
+    def kern(*refs):
+        ms = [refs[i][:, :] for i in range(n_mats)]
+        body_ref = refs[n_mats]
+        lo_ref, hi_ref = refs[n_mats + 1:]
+        Dr = ms[1] if n_mats > 1 else None
+        lo, hi = _ana_dots(body_ref[:, :], ms[0], Dr, b, K, L)
+        lo_ref[:, :] = lo
+        hi_ref[:, :] = hi
+
+    call = pl.pallas_call(
+        kern, grid=(nc // cb,),
+        in_specs=[d_spec] * n_mats + [body],
+        out_specs=[out_spec] * 2, out_shape=[out_sds] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+    mats_j = [np.asarray(m) for m in mats]  # numpy, not jnp
+    return lambda x: call(*mats_j, x)
+
+
+def _syn_padded_cover(hlen, Lp, L, n_out, lpad):
+    """The synthesis matrix reads slices of planes padded with exactly
+    lpad = c on the left and h2 - 1 + sigma - c on the right."""
+    h2 = hlen // 2
+    sigma = 1 if h2 % 2 == 0 else 0
+    c = h2 // 2
+    return (hlen % 2 == 0 and hlen >= 4 and n_out == 2 * L
+            and lpad == c and Lp == L + h2 - 1 + sigma)
+
+
+@functools.lru_cache(maxsize=512)
+def build_syn_padded_lanes_mxu(nr, Lp, n_out, lpad, flo, fhi, interpret):
+    """Polyphase synthesis along the last axis of two (nr, Lp) padded
+    coefficient arrays -> (nr, n_out); None if uncovered."""
+    hlen = len(flo)
+    L = n_out // 2
+    if not _syn_padded_cover(hlen, Lp, L, n_out, lpad):
+        return None
+    m = _syn_blocks(hlen)
+    if m < 1:
+        return None
+    bands = pk._pick_bands(nr, max(Lp, n_out), 0, 0, n_bufs=10)
+    if bands is None:
+        return None
+    ib, _ = bands
+    Sm, Kp = synthesis_matrix(flo, fhi, m)
+    mats = [Sm]
+    r = L - (L // m) * m
+    if r:
+        mats.append(synthesis_matrix(flo, fhi, r)[0])
+    n_mats = len(mats)
+
+    d_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_spec = pl.BlockSpec((ib, Lp), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ib, n_out), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr, n_out), jnp.float32)
+
+    def kern(*refs):
+        ms = [refs[i][:, :] for i in range(n_mats)]
+        a_ref, d_ref, out_ref = refs[n_mats:]
+        Sr = ms[1] if n_mats > 1 else None
+        out_ref[:, :] = _syn_dots(a_ref[:, :].T, d_ref[:, :].T, ms[0],
+                                  Sr, m, Kp, L).T
+
+    call = pl.pallas_call(
+        kern, grid=(nr // ib,),
+        in_specs=[d_spec] * n_mats + [in_spec, in_spec],
+        out_specs=out_spec, out_shape=out_sds,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+    mats_j = [np.asarray(mm) for mm in mats]  # numpy, not jnp
+    return lambda a, d: call(*mats_j, a, d)
+
+
+@functools.lru_cache(maxsize=512)
+def build_syn_padded_rows_mxu(Lp, nc, n_out, lpad, flo, fhi, interpret):
+    """Polyphase synthesis along the ROW axis of two (Lp, nc) padded
+    coefficient arrays -> (n_out, nc)."""
+    hlen = len(flo)
+    L = n_out // 2
+    if not _syn_padded_cover(hlen, Lp, L, n_out, lpad):
+        return None
+    m = _syn_blocks(hlen)
+    if m < 1:
+        return None
+    cb = None
+    for cand in (512, 256, 128):
+        if nc % cand == 0 and max(Lp, n_out) * cand * 4 * 10 \
+                <= _VMEM_BUDGET:
+            cb = cand
+            break
+    if cb is None:
+        return None
+    Sm, Kp = synthesis_matrix(flo, fhi, m)
+    mats = [Sm]
+    r = L - (L // m) * m
+    if r:
+        mats.append(synthesis_matrix(flo, fhi, r)[0])
+    n_mats = len(mats)
+
+    d_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_spec = pl.BlockSpec((Lp, cb), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((n_out, cb), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((n_out, nc), jnp.float32)
+
+    def kern(*refs):
+        ms = [refs[i][:, :] for i in range(n_mats)]
+        a_ref, d_ref, out_ref = refs[n_mats:]
+        Sr = ms[1] if n_mats > 1 else None
+        out_ref[:, :] = _syn_dots(a_ref[:, :], d_ref[:, :], ms[0], Sr,
+                                  m, Kp, L)
+
+    call = pl.pallas_call(
+        kern, grid=(nc // cb,),
+        in_specs=[d_spec] * n_mats + [in_spec, in_spec],
+        out_specs=out_spec, out_shape=out_sds,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+    mats_j = [np.asarray(mm) for mm in mats]  # numpy, not jnp
+    return lambda a, d: call(*mats_j, a, d)

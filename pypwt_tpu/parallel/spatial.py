@@ -41,6 +41,20 @@ def _mx():
     return mxu_dwt
 
 
+def _build_padded(kind, fb, *geom):
+    """Padded-core kernel builder with the per-filter-width MXU/VPU
+    routing of core/dwt.py: wide filters take the banded-dot twins."""
+    dec = kind.startswith("ana")
+    taps = ((_taps(fb.dec_lo), _taps(fb.dec_hi)) if dec
+            else (_taps(fb.rec_lo), _taps(fb.rec_hi)))
+    interp = _pk()._interpret()
+    if _dwt._mxu_wanted(fb):
+        f = getattr(_mx(), f"build_{kind}_mxu")(*geom, *taps, interp)
+        if f is not None:
+            return f
+    return getattr(_pk(), f"build_{kind}")(*geom, *taps, interp)
+
+
 def _taps(f):
     import numpy as np
     return tuple(float(v) for v in np.asarray(f, dtype=np.float64))
@@ -476,9 +490,8 @@ def _analysis_axis_sharded(x, fb, axis, axis_name, axis_size):
             fold = _fold_padded(xp, lpad, rpad, r, c)
             L = c // 2
             if _fused_ok(x):
-                f = _pk().build_ana_padded_lanes(
-                    r, fold.shape[1], L, _taps(fb.dec_lo),
-                    _taps(fb.dec_hi), _pk()._interpret())
+                f = _build_padded("ana_padded_lanes", fb,
+                                  r, fold.shape[1], L)
                 if f is not None:
                     lo, hi = f(fold)
                     return lo.reshape(-1), hi.reshape(-1)
@@ -488,9 +501,8 @@ def _analysis_axis_sharded(x, fb, axis, axis_name, axis_size):
         L = x.shape[-2] // 2
         xp = halo_exchange_rows(x, lpad, rpad, axis_name, axis_size)
         if _fused_ok(x):
-            f = _pk().build_ana_padded_rows(
-                xp.shape[-2], x.shape[-1], L, _taps(fb.dec_lo),
-                _taps(fb.dec_hi), _pk()._interpret())
+            f = _build_padded("ana_padded_rows", fb,
+                              xp.shape[-2], x.shape[-1], L)
             if f is not None:
                 return tuple(f(xp))
         xt = jnp.swapaxes(xp, -1, -2)
@@ -500,9 +512,8 @@ def _analysis_axis_sharded(x, fb, axis, axis_name, axis_size):
     xp = halo_exchange_last(xt, lpad, rpad, axis_name, axis_size)
     L = xt.shape[-1] // 2
     if last and _fused_ok(x) and x.ndim == 2:
-        f = _pk().build_ana_padded_lanes(
-            x.shape[0], xp.shape[-1], L, _taps(fb.dec_lo),
-            _taps(fb.dec_hi), _pk()._interpret())
+        f = _build_padded("ana_padded_lanes", fb,
+                          x.shape[0], xp.shape[-1], L)
         if f is not None:
             return tuple(f(xp))
     lo, hi = conv.analysis_core(xp, fb.dec_lo, fb.dec_hi, L)
@@ -530,9 +541,8 @@ def _synthesis_axis_sharded(lo, hi, fb, axis, axis_name, axis_size):
                 fl = _fold_padded(lop, lpad, rpad, r, c)
                 fh = _fold_padded(hip, lpad, rpad, r, c)
                 if _fused_ok(lo):
-                    f = _pk().build_syn_padded_lanes(
-                        r, fl.shape[1], 2 * c, lpad, _taps(fb.rec_lo),
-                        _taps(fb.rec_hi), _pk()._interpret())
+                    f = _build_padded("syn_padded_lanes", fb,
+                                      r, fl.shape[1], 2 * c, lpad)
                     if f is not None:
                         return f(fl, fh).reshape(-1)
                 out = conv.synthesis_core(fl, fh, fb.rec_lo, fb.rec_hi,
@@ -545,9 +555,8 @@ def _synthesis_axis_sharded(lo, hi, fb, axis, axis_name, axis_size):
         lop = halo_exchange_rows(lo, lpad, rpad, axis_name, axis_size)
         hip = halo_exchange_rows(hi, lpad, rpad, axis_name, axis_size)
         if _fused_ok(lo):
-            f = _pk().build_syn_padded_rows(
-                lop.shape[-2], lo.shape[-1], n_out, lpad,
-                _taps(fb.rec_lo), _taps(fb.rec_hi), _pk()._interpret())
+            f = _build_padded("syn_padded_rows", fb,
+                              lop.shape[-2], lo.shape[-1], n_out, lpad)
             if f is not None:
                 return f(lop, hip)
         lot = jnp.swapaxes(lop, -1, -2)
@@ -563,9 +572,8 @@ def _synthesis_axis_sharded(lo, hi, fb, axis, axis_name, axis_size):
     lop = halo_exchange_last(lot, lpad, rpad, axis_name, axis_size)
     hip = halo_exchange_last(hit, lpad, rpad, axis_name, axis_size)
     if last and _fused_ok(lo) and lo.ndim == 2:
-        f = _pk().build_syn_padded_lanes(
-            lo.shape[0], lop.shape[-1], n_out, lpad, _taps(fb.rec_lo),
-            _taps(fb.rec_hi), _pk()._interpret())
+        f = _build_padded("syn_padded_lanes", fb,
+                          lo.shape[0], lop.shape[-1], n_out, lpad)
         if f is not None:
             return f(lop, hip)
     out = conv.synthesis_core(lop, hip, fb.rec_lo, fb.rec_hi, n_out, L,
