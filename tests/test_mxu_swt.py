@@ -10,6 +10,7 @@ tests/test_mxu.py.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from pypwt_tpu.filters import get_filter_bank
@@ -174,3 +175,29 @@ def test_mxu_swt_support_guard():
     fb = get_filter_bank("db10")
     assert mxs.swt2d_level_fused_mxu(_rand((32, 32)), fb, 4) is None
     assert mxs.swt1d_level_fused_mxu(_rand((8, 32)), fb, 4) is None
+
+
+FULL = __import__("os").environ.get("PYPWT_FULL_SWEEP", "") == "1"
+
+
+@pytest.mark.skipif(not FULL, reason="set PYPWT_FULL_SWEEP=1")
+@pytest.mark.parametrize(
+    "wname",
+    [n for n in __import__("pypwt_tpu").wavelist()
+     if get_filter_bank(n).hlen >= 6])
+def test_sweep_mxu_swt_matches_jnp(wname):
+    """Every wide bank (the banks auto mode routes to the MXU a-trous
+    kernels) through forced-mxu swt2d L2 vs the jnp path."""
+    fb = get_filter_bank(wname)
+    x = _rand((64, 64))
+    try:
+        dwt.set_kernels("jnp")
+        ref = swt.swt2d(x, fb, 2)
+        dwt.set_kernels("mxu")
+        got = swt.swt2d(x, fb, 2)
+        y = swt.iswt2d(got, fb)
+    finally:
+        dwt.set_kernels("auto")
+    for g, r in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+        assert float(jnp.abs(g - r.astype(jnp.float32)).max()) < 5e-5
+    assert float(jnp.abs(y - x).max()) < 5e-5
