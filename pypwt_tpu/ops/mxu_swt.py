@@ -159,7 +159,7 @@ def _build_swt2d_mxu(nr, nc, flo, fhi, level, interpret):
     t = 1 << (level - 1)
     span = (hlen - 1) * t
     lp, rp, _, _ = pk._swt_pads(hlen, level, inverse=False)
-    bands = pk._pick_bands_swt(nr, nc, lp, rp, n_bufs=6)
+    bands = pk._pick_bands_swt(nr, nc, lp, rp, n_bufs=8)
     if bands is None:
         return None
     ib, hh = bands
@@ -253,7 +253,7 @@ def _build_iswt2d_mxu(nr, nc, flo, fhi, level, interpret):
     t = 1 << (level - 1)
     span = (hlen - 1) * t
     lp, rp, _, _ = pk._swt_pads(hlen, level, inverse=True)
-    bands = pk._pick_bands_swt(nr, nc, lp, rp, n_bufs=14)
+    bands = pk._pick_bands_swt(nr, nc, lp, rp, n_bufs=16)
     if bands is None:
         return None
     ib, hh = bands
@@ -345,7 +345,7 @@ def _build_swt1d_mxu(nr, nc, flo, fhi, level, interpret):
     t = 1 << (level - 1)
     span = (hlen - 1) * t
     lp, rp, _, _ = pk._swt_pads(hlen, level, inverse=False)
-    bands = pk._pick_bands_swt(nr, nc, 0, 0, n_bufs=6)
+    bands = pk._pick_bands_swt(nr, nc, 0, 0, n_bufs=8)
     if bands is None:
         return None
     ib, _ = bands
@@ -480,7 +480,7 @@ def build_swt2d_sharded_mxu(nr, nc, flo, fhi, level, interpret):
     lp, rp, _, _ = pk._swt_pads(hlen, level, inverse=False)
     if max(lp, rp) > nc:
         return None  # column (local) axis wrap would need multi-wrap
-    bands = pk._pick_bands_swt(nr, nc, lp, rp, n_bufs=6)
+    bands = pk._pick_bands_swt(nr, nc, lp, rp, n_bufs=8)
     if bands is None:
         return None
     ib, hh = bands
@@ -558,7 +558,7 @@ def build_iswt2d_sharded_mxu(nr, nc, flo, fhi, level, interpret):
     lp, rp, _, _ = pk._swt_pads(hlen, level, inverse=True)
     if max(lp, rp) > nc:
         return None
-    bands = pk._pick_bands_swt(nr, nc, lp, rp, n_bufs=14)
+    bands = pk._pick_bands_swt(nr, nc, lp, rp, n_bufs=16)
     if bands is None:
         return None
     ib, hh = bands

@@ -204,6 +204,18 @@ def main():
         record("swt1d_long_roundtrip_db2_L4_4Mi",
                lambda: timeit_chained(rtsl, l0, iters=8),
                lambda: rt_err(rtsl, l0))
+        # wide filter: records whichever path serves it (the fused
+        # long-SWT builder declines wide x narrow-fold geometries)
+        fbw8l = get_filter_bank("sym8")
+        rtlw = lambda v: dwt.waverec1(dwt.wavedec1(v, fbw8l, 5),
+                                      fbw8l, nl)
+        record("dwt1d_long_roundtrip_sym8_L5_4Mi",
+               lambda: timeit_chained(rtlw, l0, iters=16),
+               lambda: rt_err(rtlw, l0))
+        rtslw = lambda v: swt.iswt1d(swt.swt1d(v, fbw8l, 3), fbw8l)
+        record("swt1d_long_roundtrip_sym8_L3_4Mi",
+               lambda: timeit_chained(rtslw, l0, iters=8),
+               lambda: rt_err(rtslw, l0))
 
     # non-separable TRUE-2D path: anisotropic db3(rows) x coif1(cols) bank
     # is perfect-reconstruction but non-factorable into one isotropic 1D
