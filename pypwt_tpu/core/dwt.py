@@ -92,6 +92,10 @@ def dwt1d(x, fb):
         rc = conv.long1d_shape(x.shape[0])
         if rc is not None and fb.hlen <= rc[1] // 2:
             if _pallas_enabled():
+                if _mxu_wanted(fb):
+                    r = _mx().dwt1d_long_fused_mxu(x, fb, rc)
+                    if r is not None:
+                        return r
                 r = _pk().dwt1d_long_fused(x, fb, rc)
                 if r is not None:
                     return r
@@ -113,6 +117,10 @@ def idwt1d(a, d, fb, n_out):
         rc = conv.long1d_shape(a.shape[0])
         if rc is not None and fb.hlen <= rc[1] // 2:
             if _pallas_enabled():
+                if _mxu_wanted(fb):
+                    r = _mx().idwt1d_long_fused_mxu(a, d, fb, n_out, rc)
+                    if r is not None:
+                        return r
                 r = _pk().idwt1d_long_fused(a, d, fb, n_out, rc)
                 if r is not None:
                     return r

@@ -30,6 +30,10 @@ def swt1d_level(x, fb, level):
         rc = conv.long1d_shape(x.shape[0])
         if rc is not None:
             if _pallas_enabled():
+                if _mxu_wanted(fb):
+                    r = _mx().swt1d_long_fused_mxu(x, fb, level, rc)
+                    if r is not None:
+                        return r
                 r = _pk().swt1d_long_fused(x, fb, level, rc)
                 if r is not None:
                     return r
@@ -51,6 +55,10 @@ def iswt1d_level(a, d, fb, level):
         rc = conv.long1d_shape(a.shape[0])
         if rc is not None:
             if _pallas_enabled():
+                if _mxu_wanted(fb):
+                    r = _mx().iswt1d_long_fused_mxu(a, d, fb, level, rc)
+                    if r is not None:
+                        return r
                 r = _pk().iswt1d_long_fused(a, d, fb, level, rc)
                 if r is not None:
                     return r

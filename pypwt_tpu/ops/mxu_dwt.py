@@ -866,3 +866,139 @@ def build_syn_padded_rows_mxu(Lp, nc, n_out, lpad, flo, fhi, interpret):
 
     mats_j = [np.asarray(mm) for mm in mats]  # numpy, not jnp
     return lambda a, d: call(*mats_j, a, d)
+
+
+# ---------------------------------------------------------------------------
+# Folded long-1D kernels (single long signal reshaped to (rows, c) with
+# in-kernel inter-row halos — pallas_dwt._fold_pad).  The banded-dot
+# bodies have no per-tap temporaries, so they dodge the wide-filter x
+# narrow-fold VMEM blowup that makes the VPU builders decline
+# (pallas_dwt._long1d_bands).
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=512)
+def _build_dwt1d_long_mxu(nr, c, lp, rp, flo, fhi, interpret):
+    hlen = len(flo)
+    if hlen % 2 or hlen < 4 or c % 2 or (c + lp + rp) % 2:
+        return None
+    if max(lp, rp) > c:
+        return None  # multi-row pads: jnp fold path
+    bands = pk._pick_bands(nr, c, 1, 1, n_bufs=8)
+    if bands is None:
+        return None
+    ib, hh = bands
+    b = _ana_blocks(hlen)
+    L = c // 2
+    Dm, K = analysis_matrix(flo, fhi, b)
+    mats = [Dm]
+    r = L - (L // b) * b
+    if r:
+        mats.append(analysis_matrix(flo, fhi, r)[0])
+    n_mats = len(mats)
+
+    top, body, bot = pk._halo_specs(ib, hh, nr, c)
+    d_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ib, L), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr, L), jnp.float32)
+
+    def kern(*refs):
+        ms = [refs[i][:, :] for i in range(n_mats)]
+        top_ref, body_ref, bot_ref = refs[n_mats:n_mats + 3]
+        lo_ref, hi_ref = refs[n_mats + 3:]
+        Dr = ms[1] if n_mats > 1 else None
+        tp = pk._fold_pad(top_ref, body_ref, bot_ref, lp, rp).T
+        lo, hi = _ana_dots(tp, ms[0], Dr, b, K, L)
+        lo_ref[:, :] = lo.T
+        hi_ref[:, :] = hi.T
+
+    call = pl.pallas_call(
+        kern, grid=(nr // ib,),
+        in_specs=[d_spec] * n_mats + [top, body, bot],
+        out_specs=[out_spec] * 2, out_shape=[out_sds] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+    mats_j = [np.asarray(m) for m in mats]  # numpy, not jnp
+    return lambda x2: call(*mats_j, x2, x2, x2)
+
+
+def dwt1d_long_fused_mxu(x, fb, rc):
+    """One analysis level of a long 1D signal via banded MXU dots on the
+    folded plane; None if uncovered."""
+    if x.ndim != 1 or x.dtype != jnp.float32:
+        return None
+    r, c = rc
+    lp, rp = conv.analysis_pads(fb.hlen)
+    f = _build_dwt1d_long_mxu(r, c, lp, rp, pk._taps(fb.dec_lo),
+                              pk._taps(fb.dec_hi), pk._interpret())
+    if f is None:
+        return None
+    lo, hi = f(x.reshape(r, c))
+    return lo.reshape(-1), hi.reshape(-1)
+
+
+@functools.lru_cache(maxsize=512)
+def _build_idwt1d_long_mxu(nr, c, lp, rp, flo, fhi, interpret):
+    hlen = len(flo)
+    if not _syn_padded_cover(hlen, c + lp + rp, c, 2 * c, lp):
+        return None
+    if max(lp, rp) > c:
+        return None
+    m = _syn_blocks(hlen)
+    if m < 1:
+        return None
+    bands = pk._pick_bands(nr, 2 * c, 1, 1, n_bufs=10)
+    if bands is None:
+        return None
+    ib, hh = bands
+    Sm, Kp = synthesis_matrix(flo, fhi, m)
+    mats = [Sm]
+    r = c - (c // m) * m
+    if r:
+        mats.append(synthesis_matrix(flo, fhi, r)[0])
+    n_mats = len(mats)
+
+    top, body, bot = pk._halo_specs(ib, hh, nr, c)
+    d_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ib, 2 * c), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr, 2 * c), jnp.float32)
+
+    def kern(*refs):
+        ms = [refs[i][:, :] for i in range(n_mats)]
+        (a_top, a_body, a_bot, d_top, d_body, d_bot) = \
+            refs[n_mats:n_mats + 6]
+        out_ref = refs[n_mats + 6]
+        Sr = ms[1] if n_mats > 1 else None
+        ap = pk._fold_pad(a_top, a_body, a_bot, lp, rp).T
+        dp = pk._fold_pad(d_top, d_body, d_bot, lp, rp).T
+        out_ref[:, :] = _syn_dots(ap, dp, ms[0], Sr, m, Kp, c).T
+
+    call = pl.pallas_call(
+        kern, grid=(nr // ib,),
+        in_specs=[d_spec] * n_mats + [top, body, bot] * 2,
+        out_specs=out_spec, out_shape=out_sds,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+    mats_j = [np.asarray(mm) for mm in mats]  # numpy, not jnp
+    return lambda a2, d2: call(*mats_j, a2, a2, a2, d2, d2, d2)
+
+
+def idwt1d_long_fused_mxu(a, d, fb, n_out, rc):
+    """One synthesis level of a long 1D pair via banded MXU dots on the
+    folded planes; None if uncovered."""
+    if a.ndim != 1 or a.dtype != jnp.float32 or a.shape != d.shape:
+        return None
+    r, c = rc
+    if n_out != 2 * r * c:
+        return None
+    lp, rp = conv.synthesis_pads(fb.hlen, c, 2 * c)
+    f = _build_idwt1d_long_mxu(r, c, lp, rp, pk._taps(fb.rec_lo),
+                               pk._taps(fb.rec_hi), pk._interpret())
+    if f is None:
+        return None
+    return f(a.reshape(r, c), d.reshape(r, c)).reshape(-1)

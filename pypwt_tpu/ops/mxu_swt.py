@@ -627,3 +627,140 @@ def build_iswt2d_sharded_mxu(nr, nc, flo, fhi, level, interpret):
                     a_t, a_b, h_t, h_b, v_t, v_b, d_t, d_b)
 
     return fused, hh
+
+
+# ---------------------------------------------------------------------------
+# Folded long-1D a-trous kernels (in-kernel inter-row halos via
+# pallas_dwt._fold_pad).  No per-tap temporaries, so wide filters that
+# the VPU long builders decline (VMEM blowup) are covered.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=512)
+def _build_swt1d_long_mxu(nr, c, level, flo, fhi, interpret):
+    hlen = len(flo)
+    t = 1 << (level - 1)
+    span = (hlen - 1) * t
+    lp, rp, _, _ = pk._swt_pads(hlen, level, inverse=False)
+    if max(lp, rp) > c:
+        return None  # multi-row pads: jnp fold path
+    bands = pk._pick_bands(nr, c, 1, 1, n_bufs=8)
+    if bands is None:
+        return None
+    ib, hh = bands
+    b = _pick_b(span, c, row_mult=2, k_mult=1)
+    if b < 1:
+        return None
+    Dm, K = swt_analysis_matrix(flo, fhi, b, level)
+    mats = [Dm]
+    r = c - (c // b) * b
+    if r:
+        mats.append(swt_analysis_matrix(flo, fhi, r, level)[0])
+    n_mats = len(mats)
+
+    top, body, bot = pk._halo_specs(ib, hh, nr, c)
+    d_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ib, c), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr, c), jnp.float32)
+
+    def kern(*refs):
+        ms = [refs[i][:, :] for i in range(n_mats)]
+        top_ref, body_ref, bot_ref = refs[n_mats:n_mats + 3]
+        lo_ref, hi_ref = refs[n_mats + 3:]
+        Dr = ms[1] if n_mats > 1 else None
+        tp = pk._fold_pad(top_ref, body_ref, bot_ref, lp, rp).T
+        lo, hi = _swt_ana_dots(tp, ms[0], Dr, b, K, c)
+        lo_ref[:, :] = lo.T
+        hi_ref[:, :] = hi.T
+
+    call = pl.pallas_call(
+        kern, grid=(nr // ib,),
+        in_specs=[d_spec] * n_mats + [top, body, bot],
+        out_specs=[out_spec] * 2, out_shape=[out_sds] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+    mats_j = [np.asarray(m) for m in mats]  # numpy, not jnp
+    return lambda x2: tuple(call(*mats_j, x2, x2, x2))
+
+
+def swt1d_long_fused_mxu(x, fb, level, rc):
+    """One a-trous analysis level of a long 1D signal via banded MXU
+    dots on the folded plane; None if uncovered."""
+    if x.ndim != 1 or x.dtype != jnp.float32:
+        return None
+    r, c = rc
+    if (1 << (level - 1)) % c == 0:
+        return None  # row-roll fast path handles this better
+    f = _build_swt1d_long_mxu(r, c, level, pk._taps(fb.dec_lo),
+                              pk._taps(fb.dec_hi), pk._interpret())
+    if f is None:
+        return None
+    lo, hi = f(x.reshape(r, c))
+    return lo.reshape(-1), hi.reshape(-1)
+
+
+@functools.lru_cache(maxsize=512)
+def _build_iswt1d_long_mxu(nr, c, level, flo, fhi, interpret):
+    hlen = len(flo)
+    t = 1 << (level - 1)
+    span = (hlen - 1) * t
+    lp, rp, _, _ = pk._swt_pads(hlen, level, inverse=True)
+    if max(lp, rp) > c:
+        return None
+    bands = pk._pick_bands(nr, c, 1, 1, n_bufs=10)
+    if bands is None:
+        return None
+    ib, hh = bands
+    b = _pick_b(span, c, row_mult=1, k_mult=2)
+    if b < 1:
+        return None
+    Sm, K = swt_synthesis_matrix(flo, fhi, b, level)
+    mats = [Sm]
+    r = c - (c // b) * b
+    if r:
+        mats.append(swt_synthesis_matrix(flo, fhi, r, level)[0])
+    n_mats = len(mats)
+
+    top, body, bot = pk._halo_specs(ib, hh, nr, c)
+    d_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ib, c), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr, c), jnp.float32)
+
+    def kern(*refs):
+        ms = [refs[i][:, :] for i in range(n_mats)]
+        (a_top, a_body, a_bot, d_top, d_body, d_bot) = \
+            refs[n_mats:n_mats + 6]
+        out_ref = refs[n_mats + 6]
+        Sr = ms[1] if n_mats > 1 else None
+        ap = pk._fold_pad(a_top, a_body, a_bot, lp, rp).T
+        dp = pk._fold_pad(d_top, d_body, d_bot, lp, rp).T
+        out_ref[:, :] = _swt_syn_dots(ap, dp, ms[0], Sr, b, K, c).T
+
+    call = pl.pallas_call(
+        kern, grid=(nr // ib,),
+        in_specs=[d_spec] * n_mats + [top, body, bot] * 2,
+        out_specs=out_spec, out_shape=out_sds,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+    mats_j = [np.asarray(mm) for mm in mats]  # numpy, not jnp
+    return lambda a2, d2: call(*mats_j, a2, a2, a2, d2, d2, d2)
+
+
+def iswt1d_long_fused_mxu(a, d, fb, level, rc):
+    """One a-trous synthesis level of a long 1D pair via banded MXU
+    dots; None if uncovered."""
+    if a.ndim != 1 or a.dtype != jnp.float32 or a.shape != d.shape:
+        return None
+    r, c = rc
+    if (1 << (level - 1)) % c == 0:
+        return None  # row-roll fast path handles this better
+    f = _build_iswt1d_long_mxu(r, c, level, pk._taps(fb.rec_lo),
+                               pk._taps(fb.rec_hi), pk._interpret())
+    if f is None:
+        return None
+    return f(a.reshape(r, c), d.reshape(r, c)).reshape(-1)

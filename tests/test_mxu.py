@@ -148,3 +148,38 @@ def test_mxu_multilevel_full_transform():
     finally:
         dwt.set_kernels("auto")
     assert float(jnp.abs(y - x).max()) < 1e-5
+
+
+@pytest.mark.parametrize("wname", ["db4", "sym8", "db8"])
+def test_mxu_long1d_matches_jnp(wname):
+    """Folded long-1D banded-MXU kernels vs the jnp folded path.  Wide
+    banks are the whole point: the VPU long builders decline them
+    (per-tap VMEM blowup), so before these kernels they fell back to the
+    jnp fold."""
+    fb = get_filter_bank(wname)
+    n = 1 << 16
+    x = _rand(n)
+    rc = conv.long1d_shape(n)
+    want = conv.analysis_long1d(x, fb.dec_lo, fb.dec_hi, rc)
+    got = mx.dwt1d_long_fused_mxu(x, fb, rc)
+    assert got is not None, wname
+    for g, w in zip(got, want):
+        assert float(jnp.abs(g - w).max()) < 2e-5, wname
+    rc_half = conv.long1d_shape(n // 2)
+    y = mx.idwt1d_long_fused_mxu(got[0], got[1], fb, n, rc_half)
+    assert y is not None, wname
+    yw = conv.synthesis_long1d(want[0], want[1], fb.rec_lo, fb.rec_hi,
+                               n, rc_half)
+    assert float(jnp.abs(y - yw).max()) < 2e-5, wname
+    assert float(jnp.abs(y - x).max()) < 7e-4, wname
+
+
+def test_mxu_long1d_dispatch_wide_bank():
+    """dwt1d/idwt1d on a long signal with a wide bank route through the
+    MXU folded kernels (auto mode) and roundtrip within the envelope."""
+    fb = get_filter_bank("sym8")
+    n = 1 << 16
+    x = _rand(n)
+    pyr = dwt.wavedec1(x, fb, 4)
+    y = dwt.waverec1(pyr, fb, n)
+    assert float(jnp.abs(y - x).max()) < 7e-4

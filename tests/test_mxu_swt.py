@@ -201,3 +201,35 @@ def test_sweep_mxu_swt_matches_jnp(wname):
     for g, r in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
         assert float(jnp.abs(g - r.astype(jnp.float32)).max()) < 5e-5
     assert float(jnp.abs(y - x).max()) < 5e-5
+
+
+@pytest.mark.parametrize("wname", ["db4", "sym8", "db8"])
+@pytest.mark.parametrize("level", [1, 3])
+def test_mxu_swt_long1d_matches_jnp(wname, level):
+    """Folded long-1D a-trous MXU kernels vs the jnp folded path (wide
+    banks the VPU long builders decline)."""
+    fb = get_filter_bank(wname)
+    n = 1 << 16
+    x = _rand(n)
+    rc = conv.long1d_shape(n)
+    want = conv.swt_analysis_long1d(x, fb.dec_lo, fb.dec_hi, level, rc)
+    got = mxs.swt1d_long_fused_mxu(x, fb, level, rc)
+    assert got is not None, (wname, level)
+    for g, w in zip(got, want):
+        assert float(jnp.abs(g - w).max()) < 2e-5, (wname, level)
+    bw = conv.swt_synthesis_long1d(want[0], want[1], fb.rec_lo,
+                                   fb.rec_hi, level, rc)
+    bg = mxs.iswt1d_long_fused_mxu(got[0], got[1], fb, level, rc)
+    assert bg is not None, (wname, level)
+    assert float(jnp.abs(bg - bw).max()) < 2e-5, (wname, level)
+
+
+def test_mxu_swt_long1d_dispatch_roundtrip():
+    """swt1d/iswt1d on a long signal with a wide bank go through the MXU
+    folded a-trous kernels under auto dispatch."""
+    fb = get_filter_bank("sym8")
+    n = 1 << 16
+    x = _rand(n)
+    ps = swt.swt1d(x, fb, 3)
+    y = swt.iswt1d(ps, fb)
+    assert float(jnp.abs(y - x).max()) < 7e-4
