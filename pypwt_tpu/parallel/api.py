@@ -229,3 +229,61 @@ class BatchedWavelets:
         """The live sharded pyramid PyTree."""
         self._guard()
         return self._coeffs
+
+    def set_coeff(self, coeff, num, check=False):
+        """Overwrite one coefficient plane for the whole batch
+        (pypwt.pyx:463-484 batched: leading axis is B, re-sharded on
+        install)."""
+        self._guard()
+        if self.ndim == 1:
+            if not 0 <= num <= self.levels:
+                raise ValueError(f"coefficient {num} out of range")
+            ref = self._coeffs[num]
+        elif num == 0:
+            ref = self._coeffs[0]
+        else:
+            level = (num - 1) // 3 + 1
+            sub = (num - 1) % 3
+            if level > self.levels:
+                raise ValueError(f"coefficient {num} out of range")
+            ref = self._coeffs[level][sub]
+        coeff = np.asarray(coeff, dtype=np.float32)
+        if check and tuple(coeff.shape) != tuple(ref.shape):
+            raise ValueError(
+                "set_coeff: Invalid coefficient shape : expected %s, got %s"
+                % (str(tuple(ref.shape)), str(tuple(coeff.shape))))
+        new = shard_stack(jnp.asarray(coeff.reshape(ref.shape)), self.mesh)
+        if num == 0:
+            self._coeffs = [new] + list(self._coeffs[1:])
+        elif self.ndim == 1:
+            c = list(self._coeffs)
+            c[num] = new
+            self._coeffs = c
+        else:
+            planes = list(self._coeffs[level])
+            planes[sub] = new
+            c = list(self._coeffs)
+            c[level] = tuple(planes)
+            self._coeffs = c
+
+    def add_wavelet(self, W, alpha=1.0):
+        """In-place coefficient axpy with another BatchedWavelets
+        holding the same transform (wt.cu:622-655, batched)."""
+        self._guard()
+        W._guard()
+        if (self.levels != W.levels
+                or self.wname.lower() != W.wname.lower()):
+            raise ValueError(
+                "add_wavelet(): right operand is not the same transform "
+                "(wname, level)")
+        if (self.shape, self.ndim, bool(self.do_swt)) != (
+                W.shape, W.ndim, bool(W.do_swt)):
+            raise ValueError(
+                "add_wavelet(): operands do not have the same geometry")
+        if (self.do_cycle_spinning and W.do_cycle_spinning
+                and self.current_shift != W.current_shift):
+            raise ValueError(
+                "add_wavelet(): operands do not have the same current shift")
+        self._coeffs = thresh.add_coeffs(self._coeffs, W._coeffs,
+                                         float(alpha))
+        return 0

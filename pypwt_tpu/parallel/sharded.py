@@ -265,6 +265,27 @@ class ShardedWavelets:
         self._guard()
         return self._coeffs
 
+    def add_wavelet(self, W, alpha=1.0):
+        """In-place coefficient axpy with another ShardedWavelets holding
+        the same transform (wt.cu:622-655; shard-local, no collectives)."""
+        self._guard()
+        W._guard()
+        if (self.levels != W.levels
+                or self.wname.lower() != W.wname.lower()):
+            raise ValueError(
+                "add_wavelet(): right operand is not the same transform "
+                "(wname, level)")
+        if (self.shape, bool(self.do_swt)) != (W.shape, bool(W.do_swt)):
+            raise ValueError(
+                "add_wavelet(): operands do not have the same geometry")
+        if (self.do_cycle_spinning and W.do_cycle_spinning
+                and self.current_shift != W.current_shift):
+            raise ValueError(
+                "add_wavelet(): operands do not have the same current shift")
+        self._coeffs = thresh.add_coeffs(self._coeffs, W._coeffs,
+                                         float(alpha))
+        return 0
+
     def info(self):
         print(f"ShardedWavelets: ({self.Nr}, {self.Nc}) {self.wname} "
               f"L{self.levels} swt={self.do_swt} over "

@@ -183,3 +183,31 @@ def test_mxu_long1d_dispatch_wide_bank():
     pyr = dwt.wavedec1(x, fb, 4)
     y = dwt.waverec1(pyr, fb, n)
     assert float(jnp.abs(y - x).max()) < 7e-4
+
+
+FULL = __import__("os").environ.get("PYPWT_FULL_SWEEP", "") == "1"
+
+
+@pytest.mark.skipif(not FULL, reason="set PYPWT_FULL_SWEEP=1")
+@pytest.mark.parametrize(
+    "wname",
+    [n for n in __import__("pypwt_tpu").wavelist()
+     if get_filter_bank(n).hlen >= 6])
+def test_sweep_mxu_long1d_matches_jnp(wname):
+    """Every wide bank through the forced-MXU folded long-1D path
+    (wavedec1 L2 + roundtrip) vs the jnp fold."""
+    import jax
+    fb = get_filter_bank(wname)
+    n = 1 << 16
+    x = _rand(n)
+    try:
+        dwt.set_kernels("jnp")
+        ref = dwt.wavedec1(x, fb, 2)
+        dwt.set_kernels("mxu")
+        got = dwt.wavedec1(x, fb, 2)
+        y = dwt.waverec1(got, fb, n)
+    finally:
+        dwt.set_kernels("auto")
+    for g, r in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+        assert float(jnp.abs(g - r.astype(jnp.float32)).max()) < 5e-5
+    assert float(jnp.abs(y - x).max()) < 7e-4

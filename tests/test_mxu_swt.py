@@ -233,3 +233,27 @@ def test_mxu_swt_long1d_dispatch_roundtrip():
     ps = swt.swt1d(x, fb, 3)
     y = swt.iswt1d(ps, fb)
     assert float(jnp.abs(y - x).max()) < 7e-4
+
+
+@pytest.mark.skipif(not FULL, reason="set PYPWT_FULL_SWEEP=1")
+@pytest.mark.parametrize(
+    "wname",
+    [n for n in __import__("pypwt_tpu").wavelist()
+     if get_filter_bank(n).hlen >= 6])
+def test_sweep_mxu_swt_long1d_matches_jnp(wname):
+    """Every wide bank through the forced-MXU folded long-1D a-trous
+    path (swt1d L2 + roundtrip) vs the jnp fold."""
+    fb = get_filter_bank(wname)
+    n = 1 << 16
+    x = _rand(n)
+    try:
+        dwt.set_kernels("jnp")
+        ref = swt.swt1d(x, fb, 2)
+        dwt.set_kernels("mxu")
+        got = swt.swt1d(x, fb, 2)
+        y = swt.iswt1d(got, fb)
+    finally:
+        dwt.set_kernels("auto")
+    for g, r in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+        assert float(jnp.abs(g - r.astype(jnp.float32)).max()) < 5e-5
+    assert float(jnp.abs(y - x).max()) < 7e-4

@@ -142,3 +142,58 @@ def test_batched_1d_denoise_step():
     BW = BatchedWavelets(stack, "db3", 2, mesh=m, ndim=1)
     BW.denoise(0.05)
     assert BW.image.shape == stack.shape
+
+
+def test_batched_set_coeff_and_add_wavelet():
+    stack = np.random.default_rng(5).random((8, 32, 32)).astype(np.float32)
+    m = pmesh.make_mesh(n_data=8, n_rows=1)
+    BW = BatchedWavelets(stack, "db2", 2, mesh=m)
+    BW.forward()
+    # set_coeff: zero out H1 for the whole batch, check it sticks
+    h1 = BW.coeff_only(1)
+    BW.set_coeff(np.zeros_like(h1), 1, check=True)
+    np.testing.assert_array_equal(BW.coeff_only(1), np.zeros_like(h1))
+    with pytest.raises(ValueError):
+        BW.set_coeff(np.zeros((8, 3, 3), np.float32), 1, check=True)
+    with pytest.raises(ValueError):
+        BW.set_coeff(h1, 99)
+    # add_wavelet: axpy against a second plan of the same transform
+    BW2 = BatchedWavelets(stack, "db2", 2, mesh=m)
+    BW2.forward()
+    BW.add_wavelet(BW2, alpha=2.0)
+    np.testing.assert_allclose(BW.coeff_only(1), 2.0 * h1, atol=1e-6)
+    np.testing.assert_allclose(BW.coeff_only(0), 3.0 * BW2.coeff_only(0),
+                               rtol=1e-6)
+    bad = BatchedWavelets(stack, "db3", 2, mesh=m)
+    bad.forward()
+    with pytest.raises(ValueError):
+        BW.add_wavelet(bad)
+
+
+def test_batched_set_coeff_1d_mode():
+    stack = np.random.default_rng(6).random((8, 8, 64)).astype(np.float32)
+    m = pmesh.make_mesh(n_data=8, n_rows=1)
+    BW = BatchedWavelets(stack, "db2", 2, mesh=m, ndim=1)
+    BW.forward()
+    d2 = BW.coeff_only(2)
+    BW.set_coeff(np.zeros_like(d2), 2, check=True)
+    np.testing.assert_array_equal(BW.coeff_only(2), np.zeros_like(d2))
+    BW.set_coeff(d2, 2)
+    BW.inverse()
+    np.testing.assert_allclose(BW.image, stack, atol=1e-5)
+
+
+def test_sharded_add_wavelet():
+    img = _img(64, 64, 7)
+    m = _mesh_rows(8)
+    SW = ShardedWavelets(img, "db2", 2, mesh=m)
+    SW.forward()
+    SW2 = ShardedWavelets(img, "db2", 2, mesh=m)
+    SW2.forward()
+    h1 = SW.coeff_only(1)
+    SW.add_wavelet(SW2, alpha=1.0)
+    np.testing.assert_allclose(SW.coeff_only(1), 2.0 * h1, atol=1e-6)
+    bad = ShardedWavelets(img, "db3", 2, mesh=m)
+    bad.forward()
+    with pytest.raises(ValueError):
+        SW.add_wavelet(bad)

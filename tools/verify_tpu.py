@@ -46,6 +46,8 @@ def main():
                     help="8 representative banks instead of all 72")
     ap.add_argument("--out", default=None)
     ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--long-size", type=int, default=1 << 18,
+                    help="long-1D signal length (power of two)")
     ap.add_argument("--levels", type=int, default=3)
     args = ap.parse_args()
 
@@ -77,7 +79,7 @@ def main():
     xb = jnp.asarray(xb_host)
     xbig_host = rng.random((256, 1024)).astype(np.float32) * SCALE
     xbig = jnp.asarray(xbig_host)
-    xl_host = rng.random(1 << 18).astype(np.float32) * SCALE
+    xl_host = rng.random(args.long_size).astype(np.float32) * SCALE
     xl = jnp.asarray(xl_host)
 
     rows, failed = [], []
@@ -135,7 +137,7 @@ def main():
             rt2 = dwt.waverec2(dwt.wavedec2(x2, fb, lv), fb, (n, n))
             rt_s = swt.iswt2d(swt.swt2d(x2, fb, min(2, lv)), fb)
             rt_b = dwt.waverec1(dwt.wavedec1(xbig, fb, 2), fb, 1024)
-            rt_l = dwt.waverec1(dwt.wavedec1(xl, fb, 3), fb, 1 << 18)
+            rt_l = dwt.waverec1(dwt.wavedec1(xl, fb, 3), fb, xl.shape[0])
             return jnp.stack([
                 jnp.abs(rt2 - x2).max(),
                 jnp.abs(rt_s - x2).max(),
@@ -180,6 +182,25 @@ def main():
         record(wname, "fwd_dwt2d_L2_mxu_vs_oracle", err,
                3e-4 * 4 * SCALE)
         record(wname, "fwd_swt2d_L2_mxu_vs_oracle", err_s,
+               3e-4 * 4 * SCALE)
+
+    # ---- forced-MXU folded long-1D forward differentials (the banded
+    # a-trous / padded-core kernels only engage for wide banks) ----
+    for wname in ("db4", "sym8", "db10"):
+        if args.quick and wname not in SUBSET:
+            continue
+        fb = get_filter_bank(wname)
+        dwt.set_kernels("mxu")
+        try:
+            err = fwd_err(lambda v, fb=fb: dwt.wavedec1(v, fb, 2),
+                          xl, fo.fft_wavedec1(xl_host, fb, 2))
+            err_s = fwd_err(lambda v, fb=fb: swt.swt1d(v, fb, 2),
+                            xl, fo.fft_swt1d(xl_host, fb, 2))
+        finally:
+            dwt.set_kernels("auto")
+        record(wname, "fwd_dwt1d_long_L2_mxu_vs_oracle", err,
+               3e-4 * 4 * SCALE)
+        record(wname, "fwd_swt1d_long_L2_mxu_vs_oracle", err_s,
                3e-4 * 4 * SCALE)
 
     # ---- non-separable (outer-product bank == separable oracle) ----
