@@ -93,11 +93,12 @@ class _Plan:
 
 @functools.lru_cache(maxsize=256)
 def _plan_cache(shape, dtype, bank_key, levels, ndim, do_swt, separable,
-                batched, kernel_mode, _fb_ref):
-    # kernel_mode keys the cache so set_kernels() after a plan exists
-    # builds fresh jitted functions instead of reusing traces from the
-    # previous mode (the mode is read at trace time, not call time)
-    del kernel_mode
+                batched, kernel_mode, mxu_prec, _fb_ref):
+    # kernel_mode and mxu_prec key the cache so set_kernels() /
+    # set_mxu_precision() after a plan exists build fresh jitted
+    # functions instead of reusing traces from the previous mode (both
+    # are read at trace time, not call time)
+    del kernel_mode, mxu_prec
     fb, f2d = _fb_ref
     return _Plan(shape, fb, f2d, levels, ndim, do_swt, separable, batched)
 
@@ -259,7 +260,7 @@ class Wavelets:
             key_shape, str(self.dtype), bank_key, self.levels,
             self._eff_ndim,
             self.do_swt, bool(self.do_separable), bool(self.batched1d),
-            dwt._KERNEL_MODE,
+            dwt._KERNEL_MODE, dwt.mxu_precision(),
             _HashableRef((self._fb, self._f2d)))
 
     # ------------------------------------------------------------------

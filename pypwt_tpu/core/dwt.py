@@ -52,6 +52,28 @@ def set_kernels(mode: str):
     _KERNEL_MODE = mode
 
 
+# MXU dot precision.  "highest" (default) is the six-pass ~fp32 scheme
+# that meets the reference's 3e-4 * 2^level ABSOLUTE envelope on 0..255
+# data.  "bf16" runs single-pass bf16 MXU dots — ~6x the MXU rate for
+# wide filters — for throughput-first workloads that tolerate ~1%
+# relative error (measured ~2.5 abs on 255-scale data at 2048^2).  Read
+# at trace time like _KERNEL_MODE; plan caches key on it.
+_MXU_PRECISION = os.environ.get("PYPWT_MXU_PRECISION", "highest")
+
+
+def set_mxu_precision(prec: str):
+    """Select MXU dot precision: 'highest' (fp32-exact six-pass,
+    default) or 'bf16' (single-pass, ~1% relative error, fastest)."""
+    global _MXU_PRECISION
+    if prec not in ("highest", "bf16"):
+        raise ValueError("mxu precision must be highest|bf16")
+    _MXU_PRECISION = prec
+
+
+def mxu_precision() -> str:
+    return _MXU_PRECISION
+
+
 def _pallas_enabled():
     if _KERNEL_MODE == "jnp":
         return False

@@ -14,8 +14,11 @@ Precision: Mosaic supports DEFAULT (bf16, one pass) and HIGHEST (six
 passes, ~fp32) dot precision only.  DEFAULT fails the reference accuracy
 envelope (measured 2.5 abs err on 255-scale data) and even a 4-term
 bf16-split scheme only carries ~17 mantissa bits (4.3e-3 abs err), so
-these kernels use HIGHEST throughout (measured err ~1e-4 at 2048^2,
-within the 3e-4 * 2^level envelope).
+these kernels default to HIGHEST (measured err ~1e-4 at 2048^2, within
+the 3e-4 * 2^level envelope).  core.dwt.set_mxu_precision("bf16")
+opts into single-pass DEFAULT dots (~6x MXU rate, ~1% relative error)
+for throughput-first workloads; builders key their lru caches on the
+knob so both modes coexist.
 
 The banded matrices are built in float64 numpy straight from the
 reference index algebra (separable.cu:91-176 analysis / :246-328
@@ -44,8 +47,18 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 _VMEM_BUDGET = 30 * 1024 * 1024
 
 
+def _prec():
+    """Current MXU dot precision ('highest'|'bf16', core.dwt knob).
+    Builders take it as an lru_cache key; _dot reads it at kernel trace
+    time, which is always under a wrapper that just selected the builder
+    by the same value (same thread, no user code in between)."""
+    from ..core import dwt
+    return dwt.mxu_precision()
+
+
 def _dot(D, x):
-    return jax.lax.dot(D, x, precision=HIGHEST,
+    p = HIGHEST if _prec() == "highest" else jax.lax.Precision.DEFAULT
+    return jax.lax.dot(D, x, precision=p,
                        preferred_element_type=jnp.float32)
 
 
@@ -180,7 +193,7 @@ def _pick_ib(nr, nc, halo, n_bufs, max_body=512):
 
 
 @functools.lru_cache(maxsize=512)
-def _build_dwt2d_mxu(nr, nc, flo, fhi, interpret):
+def _build_dwt2d_mxu(nr, nc, flo, fhi, interpret, prec="highest"):
     hlen = len(flo)
     if hlen % 2 or hlen < 4:
         return None
@@ -261,7 +274,7 @@ def dwt2d_fused_mxu(x, fb):
     if not _covers(fb, nr, nc):
         return None
     f = _build_dwt2d_mxu(nr, nc, pk._taps(fb.dec_lo), pk._taps(fb.dec_hi),
-                         pk._interpret())
+                         pk._interpret(), _prec())
     if f is None:
         return None
     if x.ndim == 3:
@@ -274,7 +287,7 @@ def dwt2d_fused_mxu(x, fb):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=512)
-def _build_idwt2d_mxu(nr_out, nc_out, flo, fhi, interpret):
+def _build_idwt2d_mxu(nr_out, nc_out, flo, fhi, interpret, prec="highest"):
     hlen = len(flo)
     if hlen % 2 or hlen < 4 or nr_out % 2 or nc_out % 2:
         return None
@@ -356,7 +369,7 @@ def idwt2d_fused_mxu(a, h, v, d, fb, out_shape):
     if not (a.shape == h.shape == v.shape == d.shape):
         return None
     f = _build_idwt2d_mxu(nr, nc, pk._taps(fb.rec_lo), pk._taps(fb.rec_hi),
-                          pk._interpret())
+                          pk._interpret(), _prec())
     if f is None:
         return None
     if a.ndim == 3:
@@ -369,7 +382,7 @@ def idwt2d_fused_mxu(a, h, v, d, fb, out_shape):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=512)
-def _build_dwt1d_mxu(nr, nc, flo, fhi, interpret):
+def _build_dwt1d_mxu(nr, nc, flo, fhi, interpret, prec="highest"):
     hlen = len(flo)
     if hlen % 2 or hlen < 4 or nc % 2:
         return None
@@ -421,14 +434,14 @@ def dwt1d_fused_mxu(x, fb):
     if x.ndim != 2 or x.dtype != jnp.float32:
         return None
     f = _build_dwt1d_mxu(x.shape[0], x.shape[1], pk._taps(fb.dec_lo),
-                         pk._taps(fb.dec_hi), pk._interpret())
+                         pk._taps(fb.dec_hi), pk._interpret(), _prec())
     if f is None:
         return None
     return tuple(f(x))
 
 
 @functools.lru_cache(maxsize=512)
-def _build_idwt1d_mxu(nr, L, n_out, flo, fhi, interpret):
+def _build_idwt1d_mxu(nr, L, n_out, flo, fhi, interpret, prec="highest"):
     hlen = len(flo)
     if hlen % 2 or hlen < 4 or n_out != 2 * L:
         return None
@@ -479,7 +492,7 @@ def idwt1d_fused_mxu(a, d, fb, n_out):
         return None
     f = _build_idwt1d_mxu(a.shape[0], a.shape[1], n_out,
                           pk._taps(fb.rec_lo), pk._taps(fb.rec_hi),
-                          pk._interpret())
+                          pk._interpret(), _prec())
     if f is None:
         return None
     return f(a, d)
@@ -493,7 +506,7 @@ def idwt1d_fused_mxu(a, d, fb, n_out):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=512)
-def build_dwt2d_sharded_mxu(nr, nc, flo, fhi, interpret):
+def build_dwt2d_sharded_mxu(nr, nc, flo, fhi, interpret, prec="highest"):
     """(fused_fn, halo_rows) for one sharded analysis level on the MXU,
     or None.  fused_fn(x, ext_top, ext_bot) -> (a, h, v, d)."""
     hlen = len(flo)
@@ -571,7 +584,7 @@ def build_dwt2d_sharded_mxu(nr, nc, flo, fhi, interpret):
 
 
 @functools.lru_cache(maxsize=512)
-def build_idwt2d_sharded_mxu(nr_out, nc_out, flo, fhi, interpret):
+def build_idwt2d_sharded_mxu(nr_out, nc_out, flo, fhi, interpret, prec="highest"):
     """(fused_fn, halo_rows) for one sharded synthesis level on the MXU,
     or None.  fused_fn(a, h, v, d, (a_t, a_b, ..., d_b)) -> image."""
     hlen = len(flo)
@@ -660,7 +673,7 @@ def build_idwt2d_sharded_mxu(nr_out, nc_out, flo, fhi, interpret):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=512)
-def build_ana_padded_lanes_mxu(nr, ncp, L, flo, fhi, interpret):
+def build_ana_padded_lanes_mxu(nr, ncp, L, flo, fhi, interpret, prec="highest"):
     """Decimating analysis along the last axis of an (nr, ncp) padded
     array -> two (nr, L) outputs; None if uncovered."""
     hlen = len(flo)
@@ -709,7 +722,7 @@ def build_ana_padded_lanes_mxu(nr, ncp, L, flo, fhi, interpret):
 
 
 @functools.lru_cache(maxsize=512)
-def build_ana_padded_rows_mxu(nrp, nc, L, flo, fhi, interpret):
+def build_ana_padded_rows_mxu(nrp, nc, L, flo, fhi, interpret, prec="highest"):
     """Decimating analysis along the ROW axis of an (nrp, nc) padded
     array -> two (L, nc) outputs (no transposes anywhere)."""
     hlen = len(flo)
@@ -769,7 +782,7 @@ def _syn_padded_cover(hlen, Lp, L, n_out, lpad):
 
 
 @functools.lru_cache(maxsize=512)
-def build_syn_padded_lanes_mxu(nr, Lp, n_out, lpad, flo, fhi, interpret):
+def build_syn_padded_lanes_mxu(nr, Lp, n_out, lpad, flo, fhi, interpret, prec="highest"):
     """Polyphase synthesis along the last axis of two (nr, Lp) padded
     coefficient arrays -> (nr, n_out); None if uncovered."""
     hlen = len(flo)
@@ -817,7 +830,7 @@ def build_syn_padded_lanes_mxu(nr, Lp, n_out, lpad, flo, fhi, interpret):
 
 
 @functools.lru_cache(maxsize=512)
-def build_syn_padded_rows_mxu(Lp, nc, n_out, lpad, flo, fhi, interpret):
+def build_syn_padded_rows_mxu(Lp, nc, n_out, lpad, flo, fhi, interpret, prec="highest"):
     """Polyphase synthesis along the ROW axis of two (Lp, nc) padded
     coefficient arrays -> (n_out, nc)."""
     hlen = len(flo)
@@ -877,7 +890,7 @@ def build_syn_padded_rows_mxu(Lp, nc, n_out, lpad, flo, fhi, interpret):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=512)
-def _build_dwt1d_long_mxu(nr, c, lp, rp, flo, fhi, interpret):
+def _build_dwt1d_long_mxu(nr, c, lp, rp, flo, fhi, interpret, prec="highest"):
     hlen = len(flo)
     if hlen % 2 or hlen < 4 or c % 2 or (c + lp + rp) % 2:
         return None
@@ -932,7 +945,7 @@ def dwt1d_long_fused_mxu(x, fb, rc):
     r, c = rc
     lp, rp = conv.analysis_pads(fb.hlen)
     f = _build_dwt1d_long_mxu(r, c, lp, rp, pk._taps(fb.dec_lo),
-                              pk._taps(fb.dec_hi), pk._interpret())
+                              pk._taps(fb.dec_hi), pk._interpret(), _prec())
     if f is None:
         return None
     lo, hi = f(x.reshape(r, c))
@@ -940,7 +953,7 @@ def dwt1d_long_fused_mxu(x, fb, rc):
 
 
 @functools.lru_cache(maxsize=512)
-def _build_idwt1d_long_mxu(nr, c, lp, rp, flo, fhi, interpret):
+def _build_idwt1d_long_mxu(nr, c, lp, rp, flo, fhi, interpret, prec="highest"):
     hlen = len(flo)
     if not _syn_padded_cover(hlen, c + lp + rp, c, 2 * c, lp):
         return None
@@ -998,7 +1011,7 @@ def idwt1d_long_fused_mxu(a, d, fb, n_out, rc):
         return None
     lp, rp = conv.synthesis_pads(fb.hlen, c, 2 * c)
     f = _build_idwt1d_long_mxu(r, c, lp, rp, pk._taps(fb.rec_lo),
-                               pk._taps(fb.rec_hi), pk._interpret())
+                               pk._taps(fb.rec_hi), pk._interpret(), _prec())
     if f is None:
         return None
     return f(a.reshape(r, c), d.reshape(r, c)).reshape(-1)

@@ -42,8 +42,18 @@ HIGHEST = jax.lax.Precision.HIGHEST
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
+def _prec():
+    """Current MXU dot precision ('highest'|'bf16', core.dwt knob).
+    Builders take it as an lru_cache key; _dot reads it at kernel trace
+    time, which is always under a wrapper that just selected the builder
+    by the same value (same thread, no user code in between)."""
+    from ..core import dwt
+    return dwt.mxu_precision()
+
+
 def _dot(D, x):
-    return jax.lax.dot(D, x, precision=HIGHEST,
+    p = HIGHEST if _prec() == "highest" else jax.lax.Precision.DEFAULT
+    return jax.lax.dot(D, x, precision=p,
                        preferred_element_type=jnp.float32)
 
 
@@ -154,7 +164,7 @@ def _swt_syn_dots(lop, hip, Sm, Sr, b, K, L):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=512)
-def _build_swt2d_mxu(nr, nc, flo, fhi, level, interpret):
+def _build_swt2d_mxu(nr, nc, flo, fhi, level, interpret, prec="highest"):
     hlen = len(flo)
     t = 1 << (level - 1)
     span = (hlen - 1) * t
@@ -235,7 +245,7 @@ def swt2d_level_fused_mxu(x, fb, level):
     if max(lp, rp) > min(nr, nc):
         return None  # support exceeds image; jnp path wraps correctly
     f = _build_swt2d_mxu(nr, nc, pk._taps(fb.dec_lo), pk._taps(fb.dec_hi),
-                         level, pk._interpret())
+                         level, pk._interpret(), _prec())
     if f is None:
         return None
     if x.ndim == 3:
@@ -248,7 +258,7 @@ def swt2d_level_fused_mxu(x, fb, level):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=512)
-def _build_iswt2d_mxu(nr, nc, flo, fhi, level, interpret):
+def _build_iswt2d_mxu(nr, nc, flo, fhi, level, interpret, prec="highest"):
     hlen = len(flo)
     t = 1 << (level - 1)
     span = (hlen - 1) * t
@@ -327,7 +337,7 @@ def iswt2d_level_fused_mxu(a, h, v, d, fb, level):
     if max(lp, rp) > min(nr, nc):
         return None
     f = _build_iswt2d_mxu(nr, nc, pk._taps(fb.rec_lo), pk._taps(fb.rec_hi),
-                          level, pk._interpret())
+                          level, pk._interpret(), _prec())
     if f is None:
         return None
     if a.ndim == 3:
@@ -340,7 +350,7 @@ def iswt2d_level_fused_mxu(a, h, v, d, fb, level):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=512)
-def _build_swt1d_mxu(nr, nc, flo, fhi, level, interpret):
+def _build_swt1d_mxu(nr, nc, flo, fhi, level, interpret, prec="highest"):
     hlen = len(flo)
     t = 1 << (level - 1)
     span = (hlen - 1) * t
@@ -397,14 +407,14 @@ def swt1d_level_fused_mxu(x, fb, level):
     if max(lp, rp) > x.shape[1]:
         return None
     f = _build_swt1d_mxu(x.shape[0], x.shape[1], pk._taps(fb.dec_lo),
-                         pk._taps(fb.dec_hi), level, pk._interpret())
+                         pk._taps(fb.dec_hi), level, pk._interpret(), _prec())
     if f is None:
         return None
     return f(x)
 
 
 @functools.lru_cache(maxsize=512)
-def _build_iswt1d_mxu(nr, nc, flo, fhi, level, interpret):
+def _build_iswt1d_mxu(nr, nc, flo, fhi, level, interpret, prec="highest"):
     hlen = len(flo)
     t = 1 << (level - 1)
     span = (hlen - 1) * t
@@ -459,7 +469,7 @@ def iswt1d_level_fused_mxu(a, d, fb, level):
     if max(lp, rp) > a.shape[1]:
         return None
     f = _build_iswt1d_mxu(a.shape[0], a.shape[1], pk._taps(fb.rec_lo),
-                          pk._taps(fb.rec_hi), level, pk._interpret())
+                          pk._taps(fb.rec_hi), level, pk._interpret(), _prec())
     if f is None:
         return None
     return f(a, d)
@@ -471,7 +481,7 @@ def iswt1d_level_fused_mxu(a, d, fb, level):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=512)
-def build_swt2d_sharded_mxu(nr, nc, flo, fhi, level, interpret):
+def build_swt2d_sharded_mxu(nr, nc, flo, fhi, level, interpret, prec="highest"):
     """(fused_fn, halo_rows) for one sharded a-trous analysis level on
     the MXU, or None.  fused_fn(x, ext_top, ext_bot) -> (a, h, v, d)."""
     hlen = len(flo)
@@ -549,7 +559,7 @@ def build_swt2d_sharded_mxu(nr, nc, flo, fhi, level, interpret):
 
 
 @functools.lru_cache(maxsize=512)
-def build_iswt2d_sharded_mxu(nr, nc, flo, fhi, level, interpret):
+def build_iswt2d_sharded_mxu(nr, nc, flo, fhi, level, interpret, prec="highest"):
     """(fused_fn, halo_rows) for one sharded a-trous synthesis level on
     the MXU, or None."""
     hlen = len(flo)
@@ -636,7 +646,7 @@ def build_iswt2d_sharded_mxu(nr, nc, flo, fhi, level, interpret):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=512)
-def _build_swt1d_long_mxu(nr, c, level, flo, fhi, interpret):
+def _build_swt1d_long_mxu(nr, c, level, flo, fhi, interpret, prec="highest"):
     hlen = len(flo)
     t = 1 << (level - 1)
     span = (hlen - 1) * t
@@ -694,7 +704,7 @@ def swt1d_long_fused_mxu(x, fb, level, rc):
     if (1 << (level - 1)) % c == 0:
         return None  # row-roll fast path handles this better
     f = _build_swt1d_long_mxu(r, c, level, pk._taps(fb.dec_lo),
-                              pk._taps(fb.dec_hi), pk._interpret())
+                              pk._taps(fb.dec_hi), pk._interpret(), _prec())
     if f is None:
         return None
     lo, hi = f(x.reshape(r, c))
@@ -702,7 +712,7 @@ def swt1d_long_fused_mxu(x, fb, level, rc):
 
 
 @functools.lru_cache(maxsize=512)
-def _build_iswt1d_long_mxu(nr, c, level, flo, fhi, interpret):
+def _build_iswt1d_long_mxu(nr, c, level, flo, fhi, interpret, prec="highest"):
     hlen = len(flo)
     t = 1 << (level - 1)
     span = (hlen - 1) * t
@@ -760,7 +770,7 @@ def iswt1d_long_fused_mxu(a, d, fb, level, rc):
     if (1 << (level - 1)) % c == 0:
         return None  # row-roll fast path handles this better
     f = _build_iswt1d_long_mxu(r, c, level, pk._taps(fb.rec_lo),
-                               pk._taps(fb.rec_hi), pk._interpret())
+                               pk._taps(fb.rec_hi), pk._interpret(), _prec())
     if f is None:
         return None
     return f(a.reshape(r, c), d.reshape(r, c)).reshape(-1)

@@ -49,7 +49,8 @@ def _build_padded(kind, fb, *geom):
             else (_taps(fb.rec_lo), _taps(fb.rec_hi)))
     interp = _pk()._interpret()
     if _dwt._mxu_wanted(fb):
-        f = getattr(_mx(), f"build_{kind}_mxu")(*geom, *taps, interp)
+        f = getattr(_mx(), f"build_{kind}_mxu")(*geom, *taps, interp,
+                                                _dwt.mxu_precision())
         if f is not None:
             return f
     return getattr(_pk(), f"build_{kind}")(*geom, *taps, interp)
@@ -179,7 +180,8 @@ def _dwt2d_level_sharded(a, fb, axis_name, axis_size):
         if _dwt._mxu_wanted(fb):  # wide filters: banded MXU dots
             built = _mx().build_dwt2d_sharded_mxu(
                 a.shape[-2], a.shape[-1], _taps(fb.dec_lo),
-                _taps(fb.dec_hi), _pk()._interpret())
+                _taps(fb.dec_hi), _pk()._interpret(),
+                _dwt.mxu_precision())
         if built is None:
             built = _pk().build_dwt2d_sharded(
                 a.shape[-2], a.shape[-1], _taps(fb.dec_lo),
@@ -206,7 +208,7 @@ def _idwt2d_level_sharded(a, h, v, d, fb, axis_name, axis_size):
         if _dwt._mxu_wanted(fb):  # wide filters: banded MXU dots
             built = _mx().build_idwt2d_sharded_mxu(
                 nr_out, nc_out, _taps(fb.rec_lo), _taps(fb.rec_hi),
-                _pk()._interpret())
+                _pk()._interpret(), _dwt.mxu_precision())
         if built is None:
             built = _pk().build_idwt2d_sharded(
                 nr_out, nc_out, _taps(fb.rec_lo), _taps(fb.rec_hi),
@@ -341,7 +343,8 @@ def _swt2d_level_sharded(a, fb, lev, axis_name, axis_size):
             from ..ops import mxu_swt as _mxs
             built = _mxs.build_swt2d_sharded_mxu(
                 a.shape[-2], a.shape[-1], _taps(fb.dec_lo),
-                _taps(fb.dec_hi), lev, _pk()._interpret())
+                _taps(fb.dec_hi), lev, _pk()._interpret(),
+                _dwt.mxu_precision())
         if built is None:
             built = _pk().build_swt2d_sharded(
                 a.shape[-2], a.shape[-1], _taps(fb.dec_lo),
@@ -366,7 +369,8 @@ def _iswt2d_level_sharded(a, h, v, d, fb, lev, axis_name, axis_size):
             from ..ops import mxu_swt as _mxs
             built = _mxs.build_iswt2d_sharded_mxu(
                 a.shape[-2], a.shape[-1], _taps(fb.rec_lo),
-                _taps(fb.rec_hi), lev, _pk()._interpret())
+                _taps(fb.rec_hi), lev, _pk()._interpret(),
+                _dwt.mxu_precision())
         if built is None:
             built = _pk().build_iswt2d_sharded(
                 a.shape[-2], a.shape[-1], _taps(fb.rec_lo),

@@ -211,3 +211,25 @@ def test_sweep_mxu_long1d_matches_jnp(wname):
     for g, r in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
         assert float(jnp.abs(g - r.astype(jnp.float32)).max()) < 5e-5
     assert float(jnp.abs(y - x).max()) < 7e-4
+
+
+def test_mxu_bf16_precision_mode_plumbing():
+    """set_mxu_precision('bf16') reroutes every forced-MXU path through
+    freshly-keyed builders (single-pass DEFAULT dots).  On the CPU
+    backend dot precision does not change the arithmetic, so the
+    roundtrip stays exact; on TPU this mode trades ~1% relative error
+    for ~6x MXU rate (measured in bench_suite)."""
+    fb = get_filter_bank("sym8")
+    x = _rand((64, 64))
+    try:
+        dwt.set_kernels("mxu")
+        dwt.set_mxu_precision("bf16")
+        pyr = dwt.wavedec2(x, fb, 2)
+        y = dwt.waverec2(pyr, fb, (64, 64))
+    finally:
+        dwt.set_mxu_precision("highest")
+        dwt.set_kernels("auto")
+    assert float(jnp.abs(y - x).max()) < 7e-4
+    with pytest.raises(ValueError):
+        dwt.set_mxu_precision("fp8")
+    assert dwt.mxu_precision() == "highest"

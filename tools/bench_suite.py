@@ -142,6 +142,29 @@ def main():
                                       iters=max(16, iters // 4)),
                lambda: rt_err(rt_swt8, s0))
 
+        # reduced-precision MXU mode: single-pass bf16 dots (~6x the
+        # six-pass HIGHEST MXU rate), opt-in via
+        # core.dwt.set_mxu_precision("bf16") for throughput-first
+        # workloads.  Own loose gate: DEFAULT-precision error measured
+        # ~2.5 abs on 255-scale data (~1% relative) — outside the
+        # reference envelope BY DESIGN, so the standard GATE would lie.
+        # fresh lambdas: jit caches on function identity, so reusing
+        # rt_swt8 here would silently reuse its HIGHEST executable
+        rt8_b = lambda v: dwt.waverec2(dwt.wavedec2(v, fbw8, 3), fbw8,
+                                       (n, n))
+        rt_swt8_b = lambda v: swt.iswt2d(swt.swt2d(v, fbw8, 3), fbw8)
+        dwt.set_mxu_precision("bf16")
+        try:
+            record("dwt2d_roundtrip_sym8_L3_2048_bf16",
+                   lambda: timeit_chained(rt8_b, x0, iters=iters),
+                   lambda: rt_err(rt8_b, x0), gate=6.0)
+            record("swt2d_roundtrip_sym8_L3_1024_bf16",
+                   lambda: timeit_chained(rt_swt8_b, s0,
+                                          iters=max(16, iters // 4)),
+                   lambda: rt_err(rt_swt8_b, s0), gate=6.0)
+        finally:
+            dwt.set_mxu_precision("highest")
+
     # denoise pipeline 2048^2 (thresholding changes values by design:
     # gate on the underlying transform roundtrip instead)
     def denoise(v):
