@@ -73,6 +73,22 @@ def main():
                             timeit_chained(fn, c[0], iters=32) * 1e6, 1)
                     except Exception as e:
                         row[name + "_us"] = f"ERR:{type(e).__name__}"
+            # reduced-precision mode: single-pass bf16 dots (fresh
+            # closure — jit caches on function identity)
+            from pypwt_tpu.core import dwt as _dwt
+            _dwt.set_mxu_precision("bf16")
+            try:
+                fb16 = lambda v, fb=fb, lv=level: \
+                    mxs.swt2d_level_fused_mxu(v, fb, lv)
+                if fb16(x0) is not None:
+                    step_b = lambda v, fn=fb16: fn(v)[0]
+                    try:
+                        row["mxu_bf16_us"] = round(
+                            timeit_chained(step_b, x0, iters=32) * 1e6, 1)
+                    except Exception as e:
+                        row["mxu_bf16_us"] = f"ERR:{type(e).__name__}"
+            finally:
+                _dwt.set_mxu_precision("highest")
             rows.append(row)
             print(json.dumps(row), flush=True)
 
