@@ -64,9 +64,11 @@ def test_pyramid_synthesis_matches_jnp(wname):
     shape, levels = (128, 128), 2
     x = _rand(shape)
     dwt.set_kernels("jnp")
-    c = dwt.wavedec2(x, fb, levels)
-    want = dwt.waverec2(c, fb, shape)
-    dwt.set_kernels("auto")
+    try:
+        c = dwt.wavedec2(x, fb, levels)
+        want = dwt.waverec2(c, fb, shape)
+    finally:
+        dwt.set_kernels("auto")
     c32 = [c[0].astype(jnp.float32)] + [
         tuple(p.astype(jnp.float32) for p in t) for t in c[1:]]
     got = fp.waverec2_pyramid(c32, fb, shape)
@@ -82,8 +84,10 @@ def test_pyramid_batched_vmap():
     if got is None:
         pytest.skip("config not covered")
     dwt.set_kernels("jnp")
-    want = dwt.wavedec2(x, fb, 2)
-    dwt.set_kernels("auto")
+    try:
+        want = dwt.wavedec2(x, fb, 2)
+    finally:
+        dwt.set_kernels("auto")
     for g, w in zip(got[1], want[1]):
         assert g.shape == w.shape
         assert float(jnp.abs(g - w.astype(jnp.float32)).max()) < 1e-5
