@@ -128,6 +128,12 @@ def main():
                "max_err": float(f"{err:.3e}"),
                "backend": jax.default_backend(),
                "device": jax.devices()[0].device_kind}
+        if jax.default_backend() == "cpu":
+            # host-platform "chips" share one socket: these numbers say
+            # nothing about ICI scaling.  The falsifiable scaling
+            # evidence is the compiled-HLO collective audit
+            # (tools/audit_collectives.py, COLLECTIVES_r*.jsonl).
+            row["evidence"] = "cpu-sim, not a scaling measurement"
         rows.append(row)
         print(json.dumps(row), flush=True)
 
