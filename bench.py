@@ -60,13 +60,22 @@ def main():
     t = ubench.timeit_chained(roundtrip, x0, iters=256, reps=5)
     fps = 1.0 / t
 
+    # pipelined bound: 4 independent chains interleaved in one scan.
+    # The headline stays the chained (dependency-serialized) number for
+    # round-over-round comparability; pipelined is what a streaming
+    # (tomography) user gets if dispatch overlaps HBM with compute.
+    tp = ubench.timeit_pipelined(roundtrip, x0, k=4, iters=64, reps=3)
+
     vs = fps / BASELINE_FPS if BASELINE_FPS else 1.0
-    print(f"[bench] chained {t * 1e6:.1f} us/frame", file=sys.stderr)
+    print(f"[bench] chained {t * 1e6:.1f} us/frame, "
+          f"pipelined {tp * 1e6:.1f} us/frame "
+          f"(x{t / tp:.2f} overlap)", file=sys.stderr)
     print(json.dumps({
         "metric": "2D DWT+IDWT frames/s/chip (2048^2, db2, 3 levels)",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(vs, 3),
+        "pipelined_fps": round(1.0 / tp, 3),
     }))
 
 

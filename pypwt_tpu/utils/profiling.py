@@ -142,6 +142,32 @@ def timeit_chained(step, x0, iters=128, reps=3, return_overhead=False):
 time_chained = timeit_chained
 
 
+def timeit_pipelined(step, x0, k=4, iters=64, reps=3):
+    """Amortized seconds per application of ``step`` when ``k``
+    INDEPENDENT chains are interleaved in one scan.
+
+    ``timeit_chained`` serializes iterations through a data dependency —
+    a conservative lower bound on throughput.  Here the scan carry is a
+    tuple of k value-unique trees and the body advances each one, so the
+    scheduler may overlap chain i's HBM traffic with chain j's compute;
+    the amortized time bounds the *pipelined* throughput a streaming user
+    (e.g. tomography) gets.  pipelined ≈ chained means dispatch already
+    saturates the chip; pipelined ≪ chained means the chained headline
+    undersells it.  All the chained protocol's hazard defenses apply
+    unchanged (per-chain unique values, readback sync, calibration).
+    """
+    xs = tuple(
+        jax.tree_util.tree_map(
+            lambda t: t * np.float32(_rng.uniform(0.5, 2.0)), x0)
+        for _ in range(max(2, int(k))))
+
+    def stepk(cs):
+        return tuple(step(c) for c in cs)
+
+    t = timeit_chained(stepk, xs, iters=iters, reps=reps)
+    return t / len(xs)
+
+
 def timeit(fn, x0, iters=128, reps=3, shape_adapter=None):
     """Time ``fn`` whose output shape differs from its input: chain through
     ``shape_adapter(out, x_prev) -> next input`` (default: broadcast-add of

@@ -65,6 +65,12 @@ def main():
     results = []
     failed = []
 
+    # Measured Pallas streaming ceiling on this chip (doc/performance.md
+    # "How the Pallas path wins"): the roofline every row is scored
+    # against, so drift from the floor is visible by diffing JSONL
+    # across rounds (VERDICT r3 next #7).
+    STREAM_FLOOR_GBPS = 670.0
+
     def record(name, time_thunk, err_thunk, gate=GATE, frames=1,
                min_bytes=None):
         """Correctness first, then timing: the remote compile helper is
@@ -80,7 +86,11 @@ def main():
             row["time_us"] = round(seconds * 1e6, 2)
             row["throughput_fps"] = round(frames / seconds, 1)
             if min_bytes is not None:
-                row["effective_gbps"] = round(min_bytes / seconds / 1e9, 1)
+                gbps = min_bytes / seconds / 1e9
+                row["bytes_moved"] = int(min_bytes)
+                row["effective_gbps"] = round(gbps, 1)
+                row["pct_streaming_floor"] = round(
+                    100.0 * gbps / STREAM_FLOOR_GBPS, 1)
         except Exception as e:  # compile-relay flake: record, continue
             row["time_us"] = None
             row["timing_error"] = f"{type(e).__name__}"
@@ -90,6 +100,16 @@ def main():
         if not ok:
             failed.append(name)
         print(json.dumps(row), flush=True)
+
+    def dwt2d_rt_bytes(n, m=None):
+        """Minimal HBM traffic of a 2D DWT roundtrip: read+write per
+        level per direction, per-level planes shrinking 4x."""
+        return int(2 * 2 * (4 / 3) * n * (m or n) * 4)
+
+    def swt2d_rt_bytes(n, L):
+        """SWT keeps full-size planes: fwd reads 1 writes 4, inverse
+        reads 4 writes 1 -> 10 planes per level."""
+        return int(10 * L * n * n * 4)
 
     def rt_err(rt, x0):
         """On-device roundtrip max-err, computed INSIDE one jit (eager
@@ -103,14 +123,9 @@ def main():
     for n in sizes:
         x0 = make_inputs((n, n))[0] * SCALE
         rt = lambda v: dwt.waverec2(dwt.wavedec2(v, fb, 3), fb, (n, n))
-        # roofline annotation: minimal HBM traffic of the roundtrip is
-        # ~2x(4/3) x N x 4 B each way (per-level planes shrink 4x), so
-        # effective_gbps ~= 2 x 2 x (4/3) x N x 4 / t; the measured
-        # streaming ceiling on this chip is ~670 GB/s (doc/performance.md)
-        min_bytes = int(2 * 2 * (4 / 3) * n * n * 4)
         record(f"dwt2d_roundtrip_db2_L3_{n}",
                lambda: timeit_chained(rt, x0, iters=iters),
-               lambda: rt_err(rt, x0), min_bytes=min_bytes)
+               lambda: rt_err(rt, x0), min_bytes=dwt2d_rt_bytes(n))
 
     n = 2048
     x0 = make_inputs((n, n))[0] * SCALE
@@ -120,7 +135,7 @@ def main():
         rt = lambda v: dwt.waverec2(dwt.wavedec2(v, fbw, 3), fbw, (n, n))
         record(f"dwt2d_roundtrip_{wname}_L3_2048",
                lambda: timeit_chained(rt, x0, iters=iters),
-               lambda: rt_err(rt, x0))
+               lambda: rt_err(rt, x0), min_bytes=dwt2d_rt_bytes(n))
 
     # SWT 1024^2, 4 levels
     m = 1024
@@ -129,7 +144,7 @@ def main():
     rt_swt = lambda v: swt.iswt2d(swt.swt2d(v, fb2, 4), fb2)
     record("swt2d_roundtrip_db2_L4_1024",
            lambda: timeit_chained(rt_swt, s0, iters=max(16, iters // 4)),
-           lambda: rt_err(rt_swt, s0))
+           lambda: rt_err(rt_swt, s0), min_bytes=swt2d_rt_bytes(m, 4))
 
     # wide-filter SWT: auto mode routes hlen >= 6 to the banded MXU
     # a-trous kernels (ops/mxu_swt.py); tap-count-independent cost vs
@@ -140,7 +155,8 @@ def main():
         record("swt2d_roundtrip_sym8_L3_1024",
                lambda: timeit_chained(rt_swt8, s0,
                                       iters=max(16, iters // 4)),
-               lambda: rt_err(rt_swt8, s0))
+               lambda: rt_err(rt_swt8, s0),
+               min_bytes=swt2d_rt_bytes(m, 3))
 
         # reduced-precision MXU mode: single-pass bf16 dots (~6x the
         # six-pass HIGHEST MXU rate), opt-in via
@@ -157,11 +173,13 @@ def main():
         try:
             record("dwt2d_roundtrip_sym8_L3_2048_bf16",
                    lambda: timeit_chained(rt8_b, x0, iters=iters),
-                   lambda: rt_err(rt8_b, x0), gate=6.0)
+                   lambda: rt_err(rt8_b, x0), gate=6.0,
+                   min_bytes=dwt2d_rt_bytes(n))
             record("swt2d_roundtrip_sym8_L3_1024_bf16",
                    lambda: timeit_chained(rt_swt8_b, s0,
                                           iters=max(16, iters // 4)),
-                   lambda: rt_err(rt_swt8_b, s0), gate=6.0)
+                   lambda: rt_err(rt_swt8_b, s0), gate=6.0,
+                   min_bytes=swt2d_rt_bytes(m, 3))
         finally:
             dwt.set_mxu_precision("highest")
 
@@ -174,7 +192,7 @@ def main():
     rt_plain = lambda v: dwt.waverec2(dwt.wavedec2(v, fb, 3), fb, (n, n))
     record("denoise_soft_db2_L3_2048",
            lambda: timeit_chained(denoise, x0, iters=iters),
-           lambda: rt_err(rt_plain, x0))
+           lambda: rt_err(rt_plain, x0), min_bytes=dwt2d_rt_bytes(n))
 
     # cycle-spinning denoise (4 spins), jit-fused pipeline
     from pypwt_tpu import pipeline as pl_
@@ -185,7 +203,8 @@ def main():
                                             n_spins=4)
     record("denoise_cycle_spin4_db2_L3_2048",
            lambda: timeit_chained(cyc, x0, iters=max(16, iters // 4)),
-           lambda: rt_err(rt_plain, x0))
+           lambda: rt_err(rt_plain, x0),
+           min_bytes=4 * dwt2d_rt_bytes(n))
 
     # static-shift mode: spins unroll at trace time with the shift,
     # level-0 threshold, accumulation and averaging all fused into the
@@ -196,7 +215,8 @@ def main():
             v, "db2", 3, 1.0, shifts=((0, 0), (2, 1), (4, 2), (6, 3)))
     record("denoise_cycle_spin4static_db2_L3_2048",
            lambda: timeit_chained(cyc_s, x0, iters=max(16, iters // 4)),
-           lambda: rt_err(rt_plain, x0))
+           lambda: rt_err(rt_plain, x0),
+           min_bytes=4 * dwt2d_rt_bytes(n))
 
     # batched 1D (roofline: per-level traffic halves, sum = 2x2x2xNx4 B)
     b0 = make_inputs((2048, 4096))[0] * SCALE
@@ -213,7 +233,8 @@ def main():
                                      (8, 1024, 1024))
         record("dwt2d_stack8_roundtrip_db2_L3_1024",
                lambda: timeit_chained(rts, st0, iters=max(16, iters // 4)),
-               lambda: rt_err(rts, st0), frames=8)
+               lambda: rt_err(rts, st0), frames=8,
+               min_bytes=8 * dwt2d_rt_bytes(1024))
 
     # long single 1D signal (reference sweeps 1D up to 1e7)
     if not args.quick:
@@ -222,11 +243,13 @@ def main():
         rtl = lambda v: dwt.waverec1(dwt.wavedec1(v, fb, 5), fb, nl)
         record("dwt1d_long_roundtrip_db2_L5_4Mi",
                lambda: timeit_chained(rtl, l0, iters=16),
-               lambda: rt_err(rtl, l0))
+               lambda: rt_err(rtl, l0),
+               min_bytes=int(2 * 2 * 2 * nl * 4))
         rtsl = lambda v: swt.iswt1d(swt.swt1d(v, fb, 4), fb)
         record("swt1d_long_roundtrip_db2_L4_4Mi",
                lambda: timeit_chained(rtsl, l0, iters=8),
-               lambda: rt_err(rtsl, l0))
+               lambda: rt_err(rtsl, l0),
+               min_bytes=int(6 * 4 * nl * 4))
         # wide filter: records whichever path serves it (the fused
         # long-SWT builder declines wide x narrow-fold geometries)
         fbw8l = get_filter_bank("sym8")
@@ -234,11 +257,13 @@ def main():
                                       fbw8l, nl)
         record("dwt1d_long_roundtrip_sym8_L5_4Mi",
                lambda: timeit_chained(rtlw, l0, iters=16),
-               lambda: rt_err(rtlw, l0))
+               lambda: rt_err(rtlw, l0),
+               min_bytes=int(2 * 2 * 2 * nl * 4))
         rtslw = lambda v: swt.iswt1d(swt.swt1d(v, fbw8l, 3), fbw8l)
         record("swt1d_long_roundtrip_sym8_L3_4Mi",
                lambda: timeit_chained(rtslw, l0, iters=8),
-               lambda: rt_err(rtslw, l0))
+               lambda: rt_err(rtslw, l0),
+               min_bytes=int(6 * 3 * nl * 4))
 
     # non-separable TRUE-2D path: anisotropic db3(rows) x coif1(cols) bank
     # is perfect-reconstruction but non-factorable into one isotropic 1D
@@ -261,7 +286,7 @@ def main():
                                        (n, n))
         record("nonsep_true2d_db3xcoif1_roundtrip_L3_2048",
                lambda: timeit_chained(rtn, x0, iters=max(16, iters // 4)),
-               lambda: rt_err(rtn, x0))
+               lambda: rt_err(rtn, x0), min_bytes=dwt2d_rt_bytes(n))
 
         # rank-6 dense 2D bank: mixes three separable PR banks, so every
         # subband filter has 2D rank ~6 (above the old SVD cap).  Perfect
@@ -302,9 +327,15 @@ def main():
                  zip(jax.tree.leaves(a), jax.tree.leaves(b))]).max())(
                      got, want))
 
+        # forward-only (no PR inverse exists for the mixture), so the
+        # pyramid can't be the scan carry directly: profiling.timeit's
+        # shape adapter folds a scalar of the output back into an
+        # image-shaped carry (fixes the r3 timing_error=TypeError row)
         record(f"nonsep_rank{r6}_dense_fwd_L2_2048",
-               lambda: timeit_chained(fwd6, x0, iters=max(16, iters // 4)),
-               diff6, gate=1e-3 * SCALE)
+               lambda: profiling.timeit(fwd6, x0,
+                                        iters=max(16, iters // 4)),
+               diff6, gate=1e-3 * SCALE,
+               min_bytes=int(2 * 1.25 * n * n * 4))
 
     if args.out:
         with open(args.out, "a") as f:

@@ -19,6 +19,7 @@ from pypwt_tpu.utils.profiling import (  # noqa: F401,E402
     readback_latency,
     timeit,
     timeit_chained,
+    timeit_pipelined,
 )
 
 _sync = device_sync  # legacy alias
