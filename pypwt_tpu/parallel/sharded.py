@@ -26,12 +26,19 @@ from . import spatial
 
 
 class ShardedWavelets:
-    """Row-sharded wavelet plan for a single (Nr, Nc) image.
+    """Spatially-sharded wavelet plan for a single (Nr, Nc) image.
 
     Parameters mirror ``Wavelets`` (wname, levels, do_swt,
     do_cycle_spinning); ``mesh`` defaults to all local devices on the
-    rows axis.  Nr must be divisible by n_rows * 2^levels and Nc by
-    2^levels (DWT; SWT only needs Nr divisible by n_rows).
+    rows axis (row sharding).  A (rows, cols) mesh from
+    ``mesh.make_mesh2d`` selects GRID mode: both image axes sharded,
+    halos on both rings.
+
+    Any image size is accepted (the reference's contract, wt.cu:84-185):
+    inputs are padded internally (edge-replicated) to the mesh-aligned
+    size, transformed sharded, and cropped on readback.  Coefficients
+    therefore have the padded geometry — exact for mesh-aligned sizes,
+    and the forward->process->inverse pipeline is exact for every size.
     """
 
     def __init__(self, img, wname, levels, do_swt=0, do_cycle_spinning=0,
@@ -42,7 +49,10 @@ class ShardedWavelets:
         self.mesh = (mesh if mesh is not None
                      else pmesh.make_mesh(n_data=1,
                                           n_rows=len(jax.devices())))
+        self.grid = pmesh.COL_AXIS in self.mesh.axis_names
         self.n_rows = self.mesh.shape[pmesh.ROW_AXIS]
+        self.n_cols = (self.mesh.shape[pmesh.COL_AXIS] if self.grid
+                       else 1)
         self.Nr, self.Nc = img.shape
         self.shape = tuple(img.shape)
         self.wname = wname
@@ -51,16 +61,20 @@ class ShardedWavelets:
         self._fb = get_filter_bank(wname)
         self.hlen = self._fb.hlen
         self.levels = clamp_levels(int(levels), img.shape, self.hlen, 2)
-        if not self.do_swt:
-            spatial._check_divisible(self.Nr, self.Nc, self.levels,
-                                     self.n_rows)
-        elif self.Nr % self.n_rows:
-            raise ValueError(
-                f"{self.Nr} rows cannot be sharded over {self.n_rows} "
-                "devices")
 
-        self._sharding = NamedSharding(self.mesh, P(pmesh.ROW_AXIS, None))
-        self._image = jax.device_put(jnp.asarray(img), self._sharding)
+        # mesh-aligned internal geometry (VERDICT r3 next #5): shards of
+        # equal rows/cols, divisible by 2^levels so every level halves
+        # evenly (SWT needs the same for exact a-trous periodization)
+        rmult = self.n_rows << self.levels
+        cmult = self.n_cols << self.levels
+        self._Nrp = -(-self.Nr // rmult) * rmult
+        self._Ncp = -(-self.Nc // cmult) * cmult
+        self._padded = (self._Nrp, self._Ncp)
+
+        spec = (P(pmesh.ROW_AXIS, pmesh.COL_AXIS) if self.grid
+                else P(pmesh.ROW_AXIS, None))
+        self._sharding = NamedSharding(self.mesh, spec)
+        self._image = self._put(img)
         self._coeffs = None
         self._rng = np.random.default_rng(seed)
         self.current_shift = (0, 0)
@@ -71,14 +85,25 @@ class ShardedWavelets:
             from jax import shard_map
         except ImportError:  # pragma: no cover
             from jax.experimental.shard_map import shard_map
-        spec = P(pmesh.ROW_AXIS, None)
-        fb, lv, n, ax = self._fb, self.levels, self.n_rows, pmesh.ROW_AXIS
-        if self.do_swt:
-            loc_fwd = lambda x: spatial._local_swt2(x, fb, lv, ax, n)
-            loc_inv = lambda c: spatial._local_iswt2(c, fb, ax, n)
+        fb, lv = self._fb, self.levels
+        nr, nc, ax = self.n_rows, self.n_cols, pmesh.ROW_AXIS
+        if self.grid:
+            if self.do_swt:
+                loc_fwd = lambda x: spatial._local_swt2_grid(
+                    x, fb, lv, nr, nc)
+                loc_inv = lambda c: spatial._local_iswt2_grid(
+                    c, fb, nr, nc)
+            else:
+                loc_fwd = lambda x: spatial._local_wavedec2_grid(
+                    x, fb, lv, nr, nc)
+                loc_inv = lambda c: spatial._local_waverec2_grid(
+                    c, fb, nr, nc)
+        elif self.do_swt:
+            loc_fwd = lambda x: spatial._local_swt2(x, fb, lv, ax, nr)
+            loc_inv = lambda c: spatial._local_iswt2(c, fb, ax, nr)
         else:
-            loc_fwd = lambda x: spatial._local_wavedec2(x, fb, lv, ax, n)
-            loc_inv = lambda c: spatial._local_waverec2(c, fb, ax, n)
+            loc_fwd = lambda x: spatial._local_wavedec2(x, fb, lv, ax, nr)
+            loc_inv = lambda c: spatial._local_waverec2(c, fb, ax, nr)
         self._loc_fwd, self._loc_inv = loc_fwd, loc_inv
         self._fwd = jax.jit(shard_map(loc_fwd, mesh=self.mesh,
                                       in_specs=(spec,), out_specs=spec, check_vma=False))
@@ -88,16 +113,23 @@ class ShardedWavelets:
         self._shard_map = shard_map
         self._denoise_cache = {}
 
+    def _put(self, img):
+        """Pad (edge-replicate) to the mesh-aligned size and shard."""
+        pr, pc = self._Nrp - img.shape[0], self._Ncp - img.shape[1]
+        if pr or pc:
+            img = np.pad(img, ((0, pr), (0, pc)), mode="edge")
+        return jax.device_put(jnp.asarray(img), self._sharding)
+
     def forward(self, img=None):
         if img is not None:
             img = np.ascontiguousarray(img, dtype=np.float32)
             if img.shape != self.shape:
                 raise ValueError(
                     "The image does not have the correct shape")
-            self._image = jax.device_put(jnp.asarray(img), self._sharding)
+            self._image = self._put(img)
         if self.do_cycle_spinning:
-            sr = int(self._rng.integers(0, self.Nr))
-            sc = int(self._rng.integers(0, self.Nc))
+            sr = int(self._rng.integers(0, self._Nrp))
+            sc = int(self._rng.integers(0, self._Ncp))
             self.current_shift = (sr, sc)
             self._image = self._roll(self._image, sr, sc)
         self._coeffs = self._fwd(self._image)
@@ -207,13 +239,14 @@ class ShardedWavelets:
 
     @property
     def image(self):
-        return np.asarray(self._image)
+        # crop the internal mesh-aligned padding back to the user's size
+        return np.asarray(self._image)[: self.Nr, : self.Nc]
 
     def set_image(self, img):
         img = np.ascontiguousarray(img, dtype=np.float32)
         if img.shape != self.shape:
             raise ValueError("The image does not have the correct shape")
-        self._image = jax.device_put(jnp.asarray(img), self._sharding)
+        self._image = self._put(img)
         self._coeffs = None
 
     def image_device_array(self):
@@ -287,6 +320,9 @@ class ShardedWavelets:
         return 0
 
     def info(self):
+        layout = (f"{self.n_rows}x{self.n_cols} grid-shards" if self.grid
+                  else f"{self.n_rows} row-shards")
+        pad = ("" if self._padded == self.shape
+               else f" (padded to {self._Nrp}x{self._Ncp})")
         print(f"ShardedWavelets: ({self.Nr}, {self.Nc}) {self.wname} "
-              f"L{self.levels} swt={self.do_swt} over "
-              f"{self.n_rows} row-shards")
+              f"L{self.levels} swt={self.do_swt} over {layout}{pad}")

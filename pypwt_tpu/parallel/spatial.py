@@ -290,15 +290,16 @@ def waverec2_rowsharded(coeffs, fb, mesh, batched=False):
 # Stationary transform, row-sharded (halo = dilated filter support)
 # ---------------------------------------------------------------------------
 
-def _swt_rows_sharded(x, fb, level, axis_name, axis_size):
+def _swt_last_sharded(x, fb, level, axis_name, axis_size):
+    """A-trous analysis along the (sharded) LAST axis with dilated halo
+    exchange."""
     hlen = fb.dec_lo.shape[0] if hasattr(fb.dec_lo, "shape") else len(
         fb.dec_lo)
     s = hlen // 2
     factor = 1 << (level - 1)
-    xt = jnp.swapaxes(x, -1, -2)
     lpad, rpad = (hlen - 1 - s) * factor, s * factor
-    xp = halo_exchange_last(xt, lpad, rpad, axis_name, axis_size)
-    n = xt.shape[-1]
+    xp = halo_exchange_last(x, lpad, rpad, axis_name, axis_size)
+    n = x.shape[-1]
     flo = conv._as_taps(fb.dec_lo, x.dtype)
     fhi = conv._as_taps(fb.dec_hi, x.dtype)
     lo = None
@@ -308,20 +309,26 @@ def _swt_rows_sharded(x, fb, level, axis_name, axis_size):
         seg = xp[..., ofs: ofs + n]
         lo = seg * flo[k] if lo is None else lo + seg * flo[k]
         hi = seg * fhi[k] if hi is None else hi + seg * fhi[k]
+    return lo, hi
+
+
+def _swt_rows_sharded(x, fb, level, axis_name, axis_size):
+    xt = jnp.swapaxes(x, -1, -2)
+    lo, hi = _swt_last_sharded(xt, fb, level, axis_name, axis_size)
     return jnp.swapaxes(lo, -1, -2), jnp.swapaxes(hi, -1, -2)
 
 
-def _iswt_rows_sharded(lo, hi, fb, level, axis_name, axis_size):
+def _iswt_last_sharded(lo, hi, fb, level, axis_name, axis_size):
+    """A-trous synthesis (with the /2 averaging) along the sharded LAST
+    axis."""
     hlen = fb.rec_lo.shape[0] if hasattr(fb.rec_lo, "shape") else len(
         fb.rec_lo)
     s = hlen // 2 - 1 if hlen % 2 == 0 else hlen // 2
     factor = 1 << (level - 1)
-    lot = jnp.swapaxes(lo, -1, -2)
-    hit = jnp.swapaxes(hi, -1, -2)
     lpad, rpad = (hlen - 1 - s) * factor, max(s, 0) * factor
-    lop = halo_exchange_last(lot, lpad, rpad, axis_name, axis_size)
-    hip = halo_exchange_last(hit, lpad, rpad, axis_name, axis_size)
-    n = lot.shape[-1]
+    lop = halo_exchange_last(lo, lpad, rpad, axis_name, axis_size)
+    hip = halo_exchange_last(hi, lpad, rpad, axis_name, axis_size)
+    n = lo.shape[-1]
     flo = conv._as_taps(fb.rec_lo, lo.dtype)
     fhi = conv._as_taps(fb.rec_hi, lo.dtype)
     half = jnp.asarray(0.5, lo.dtype)
@@ -331,6 +338,13 @@ def _iswt_rows_sharded(lo, hi, fb, level, axis_name, axis_size):
         seg = (lop[..., ofs: ofs + n] * (flo[k] * half)
                + hip[..., ofs: ofs + n] * (fhi[k] * half))
         out = seg if out is None else out + seg
+    return out
+
+
+def _iswt_rows_sharded(lo, hi, fb, level, axis_name, axis_size):
+    lot = jnp.swapaxes(lo, -1, -2)
+    hit = jnp.swapaxes(hi, -1, -2)
+    out = _iswt_last_sharded(lot, hit, fb, level, axis_name, axis_size)
     return jnp.swapaxes(out, -1, -2)
 
 
@@ -637,6 +651,52 @@ def waverec2_gridsharded(coeffs, fb, mesh):
     spec = P(ROW_AXIS, COL_AXIS)
     fn = shard_map(
         lambda c: _local_waverec2_grid(c, fb, n_rows, n_cols),
+        mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)
+    return jax.jit(fn)(coeffs)
+
+
+def _local_swt2_grid(x, fb, levels, n_rows, n_cols):
+    """Stationary 2D transform with BOTH axes sharded: a-trous columns
+    over the cols ring, then rows over the rows ring (dilated halos on
+    each) — no single-axis counterpart in the reference, which is
+    single-GPU (SURVEY.md §2.3)."""
+    a = x
+    details = []
+    for lev in range(1, levels + 1):
+        t1, t2 = _swt_last_sharded(a, fb, lev, COL_AXIS, n_cols)
+        a, h = _swt_rows_sharded(t1, fb, lev, ROW_AXIS, n_rows)
+        v, d = _swt_rows_sharded(t2, fb, lev, ROW_AXIS, n_rows)
+        details.append((h, v, d))
+    return [a] + details
+
+
+def _local_iswt2_grid(coeffs, fb, n_rows, n_cols):
+    levels = len(coeffs) - 1
+    a = coeffs[0]
+    for lev in range(levels, 0, -1):
+        h, v, d = coeffs[lev]
+        t1 = _iswt_rows_sharded(a, h, fb, lev, ROW_AXIS, n_rows)
+        t2 = _iswt_rows_sharded(v, d, fb, lev, ROW_AXIS, n_rows)
+        a = _iswt_last_sharded(t1, t2, fb, lev, COL_AXIS, n_cols)
+    return a
+
+
+def swt2d_gridsharded(image, fb, levels, mesh):
+    n_rows = mesh.shape[ROW_AXIS]
+    n_cols = mesh.shape[COL_AXIS]
+    spec = P(ROW_AXIS, COL_AXIS)
+    fn = shard_map(
+        lambda x: _local_swt2_grid(x, fb, levels, n_rows, n_cols),
+        mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)
+    return jax.jit(fn)(image)
+
+
+def iswt2d_gridsharded(coeffs, fb, mesh):
+    n_rows = mesh.shape[ROW_AXIS]
+    n_cols = mesh.shape[COL_AXIS]
+    spec = P(ROW_AXIS, COL_AXIS)
+    fn = shard_map(
+        lambda c: _local_iswt2_grid(c, fb, n_rows, n_cols),
         mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)
     return jax.jit(fn)(coeffs)
 

@@ -85,11 +85,94 @@ def test_sharded_set_coeff_and_guards():
         SW.set_coeff(np.zeros((3, 3), np.float32), 1, check=True)
 
 
-def test_sharded_rejects_bad_geometry():
-    with pytest.raises(ValueError):
-        ShardedWavelets(_img(100, 64), "db2", 2, mesh=_mesh_rows(8))
+def test_sharded_rejects_non_2d():
     with pytest.raises(ValueError):
         ShardedWavelets(np.zeros((4, 32, 32), np.float32), "db2", 1)
+
+
+def test_sharded_any_size_roundtrip():
+    # sizes NOT divisible by n_rows * 2^levels: padded internally,
+    # cropped on readback (the reference's any-size contract,
+    # wt.cu:84-185, preserved in distributed mode — VERDICT r3 #5)
+    img = _img(100, 70, 4)
+    SW = ShardedWavelets(img, "db2", 2, mesh=_mesh_rows(8))
+    assert SW._padded != img.shape
+    SW.forward()
+    SW.inverse()
+    assert SW.image.shape == img.shape
+    np.testing.assert_allclose(SW.image, img, atol=1e-5)
+    # denoise keeps the user geometry too
+    SW.set_image(img)
+    SW.denoise(0.05)
+    assert SW.image.shape == img.shape
+
+
+def test_sharded_any_size_1000x1537():
+    # the VERDICT r3 acceptance case: 1000x1537 on the 8-device mesh
+    img = _img(1000, 1537, 5)
+    SW = ShardedWavelets(img, "db3", 3, mesh=_mesh_rows(8))
+    SW.forward()
+    SW.soft_threshold(0.0)
+    SW.inverse()
+    np.testing.assert_allclose(SW.image, img, atol=1e-4)
+
+
+def test_sharded_any_size_swt_roundtrip():
+    img = _img(75, 64, 6)
+    SW = ShardedWavelets(img, "db2", 2, do_swt=1, mesh=_mesh_rows(4))
+    SW.forward()
+    SW.inverse()
+    np.testing.assert_allclose(SW.image, img, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Grid mode (2D mesh: both image axes sharded)
+# ---------------------------------------------------------------------------
+
+def _mesh_grid(nr, nc):
+    return pmesh.make_mesh2d(nr, nc)
+
+
+def test_sharded_grid_matches_single_plan():
+    img = _img(128, 128, 8)
+    SW = ShardedWavelets(img, "db3", 2, mesh=_mesh_grid(4, 2))
+    assert SW.grid
+    SW.forward()
+    W = Wavelets(img, "db3", 2)
+    W.forward()
+    for num in range(7):
+        np.testing.assert_allclose(SW.coeff_only(num), W.coeff_only(num),
+                                   atol=1e-5)
+    SW.soft_threshold(0.1)
+    W.soft_threshold(0.1)
+    assert abs(SW.norm1() - W.norm1()) / W.norm1() < 1e-5
+    SW.inverse()
+    W.inverse()
+    np.testing.assert_allclose(SW.image, W.image, atol=1e-5)
+
+
+def test_sharded_grid_swt_roundtrip():
+    img = _img(64, 64, 9)
+    SW = ShardedWavelets(img, "db2", 2, do_swt=1, mesh=_mesh_grid(2, 4))
+    SW.forward()
+    W = Wavelets(img, "db2", 2, do_swt=1)
+    W.forward()
+    for num in range(7):
+        np.testing.assert_allclose(SW.coeff_only(num), W.coeff_only(num),
+                                   atol=1e-5)
+    SW.inverse()
+    np.testing.assert_allclose(SW.image, img, atol=1e-5)
+
+
+def test_sharded_grid_any_size_denoise():
+    img = _img(90, 110, 10)
+    SW = ShardedWavelets(img, "db2", 2, mesh=_mesh_grid(2, 4), seed=1)
+    SW.denoise(0.05, spins=2)
+    assert SW.image.shape == img.shape
+    SW.set_image(img)
+    SW.forward()
+    SW.inverse()
+    np.testing.assert_allclose(SW.image, img, atol=1e-5)
 
 
 # ---------------------------------------------------------------------------
