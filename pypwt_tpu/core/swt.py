@@ -12,7 +12,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from . import conv
-from .dwt import _pallas_enabled, _mxu_wanted
+from . import dwt as _dwt
+from .dwt import _pallas_enabled
 
 
 def _pk():
@@ -25,12 +26,49 @@ def _mx():
     return mxu_swt
 
 
+# SWT routing crossover, measured on TPU v5e (1024^2 per-level kernels,
+# chained timing; full table in doc/performance.md round-4 section and
+# tools/proto_mxu_swt.py artifact).  Unlike the decimated DWT — where the
+# banded MXU dots win from hlen 6 — the undecimated a-trous kernels keep
+# the VPU competitive much longer because per-level traffic is constant:
+#   * hlen < 16: VPU wins at EVERY level (db4 L2: 46.5 us VPU vs
+#     61.1 us MXU; db2: 29.9 vs 61.2).
+#   * hlen >= 16: MXU wins while the dilated support
+#     K = (hlen-1)*2^(level-1)+1 stays under the band cliff — cost
+#     jumps ~2.2x once K crosses ~100 (sym8 L4 K=121: 139.1 us MXU vs
+#     40.7 VPU; db10 L3 K=77: 64.1 MXU vs 83.4 VPU).  Synthesis re-bands
+#     two operands, so its cliff comes sooner (sym8 L3 K=61: 88.4 MXU vs
+#     58.7 VPU; db10 L2 K=39: 63.5 MXU vs 82.0 VPU).
+#   * bf16 MXU mode is ~27 us FLAT for every hlen and level measured
+#     (single-pass dots halve the band traffic; no cliff up to L4) —
+#     route every eligible bank to the MXU there.
+_SWT_MXU_MIN_HLEN = 16
+_SWT_SUPPORT_CLIFF_ANA = 96
+_SWT_SUPPORT_CLIFF_SYN = 40
+
+
+def _mxu_swt_wanted(fb, level, synthesis=False):
+    """Level-aware MXU routing for stationary levels (grounded on-chip,
+    VERDICT r3 next #2; replaces the DWT-derived hlen>=6 rule)."""
+    if _dwt._KERNEL_MODE == "mxu":
+        return True
+    if _dwt._KERNEL_MODE != "auto" or fb.hlen < 6:
+        return False
+    if _dwt.mxu_precision() == "bf16":
+        return True
+    if fb.hlen < _SWT_MXU_MIN_HLEN:
+        return False
+    support = (fb.hlen - 1) * (1 << (level - 1)) + 1
+    return support <= (_SWT_SUPPORT_CLIFF_SYN if synthesis
+                       else _SWT_SUPPORT_CLIFF_ANA)
+
+
 def swt1d_level(x, fb, level):
     if x.ndim == 1:
         rc = conv.long1d_shape(x.shape[0])
         if rc is not None:
             if _pallas_enabled():
-                if _mxu_wanted(fb):
+                if _mxu_swt_wanted(fb, level):
                     r = _mx().swt1d_long_fused_mxu(x, fb, level, rc)
                     if r is not None:
                         return r
@@ -40,7 +78,7 @@ def swt1d_level(x, fb, level):
             return conv.swt_analysis_long1d(x, fb.dec_lo, fb.dec_hi,
                                             level, rc)
     if _pallas_enabled() and x.ndim == 2:
-        if _mxu_wanted(fb):
+        if _mxu_swt_wanted(fb, level):
             r = _mx().swt1d_level_fused_mxu(x, fb, level)
             if r is not None:
                 return r
@@ -55,7 +93,7 @@ def iswt1d_level(a, d, fb, level):
         rc = conv.long1d_shape(a.shape[0])
         if rc is not None:
             if _pallas_enabled():
-                if _mxu_wanted(fb):
+                if _mxu_swt_wanted(fb, level, synthesis=True):
                     r = _mx().iswt1d_long_fused_mxu(a, d, fb, level, rc)
                     if r is not None:
                         return r
@@ -65,7 +103,7 @@ def iswt1d_level(a, d, fb, level):
             return conv.swt_synthesis_long1d(a, d, fb.rec_lo, fb.rec_hi,
                                              level, rc)
     if _pallas_enabled() and a.ndim == 2:
-        if _mxu_wanted(fb):
+        if _mxu_swt_wanted(fb, level, synthesis=True):
             r = _mx().iswt1d_level_fused_mxu(a, d, fb, level)
             if r is not None:
                 return r
@@ -81,7 +119,7 @@ def swt2d_level(x, fb, level):
     On TPU, covered shapes run as one fused Pallas kernel (banded MXU
     dots for wide filters, VPU tap loops otherwise)."""
     if _pallas_enabled():
-        if _mxu_wanted(fb):
+        if _mxu_swt_wanted(fb, level):
             r = _mx().swt2d_level_fused_mxu(x, fb, level)
             if r is not None:
                 return r
@@ -100,7 +138,7 @@ def swt2d_level(x, fb, level):
 def iswt2d_level(a, h, v, d, fb, level):
     """One stationary 2D synthesis level (column pass then row pass)."""
     if _pallas_enabled():
-        if _mxu_wanted(fb):
+        if _mxu_swt_wanted(fb, level, synthesis=True):
             r = _mx().iswt2d_level_fused_mxu(a, h, v, d, fb, level)
             if r is not None:
                 return r

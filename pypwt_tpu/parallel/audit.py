@@ -126,12 +126,16 @@ def rowsharded_fns(fb, levels, mesh, swt=False):
     return mk(fwd), mk(inv)
 
 
-def gridsharded_fns(fb, levels, mesh):
+def gridsharded_fns(fb, levels, mesh, swt=False):
     nr = mesh.shape[ROW_AXIS]
     nc = mesh.shape[COL_AXIS]
     spec = P(ROW_AXIS, COL_AXIS)
-    fwd = lambda x: spatial._local_wavedec2_grid(x, fb, levels, nr, nc)
-    inv = lambda c: spatial._local_waverec2_grid(c, fb, nr, nc)
+    if swt:
+        fwd = lambda x: spatial._local_swt2_grid(x, fb, levels, nr, nc)
+        inv = lambda c: spatial._local_iswt2_grid(c, fb, nr, nc)
+    else:
+        fwd = lambda x: spatial._local_wavedec2_grid(x, fb, levels, nr, nc)
+        inv = lambda c: spatial._local_waverec2_grid(c, fb, nr, nc)
     mk = lambda f: shard_map(f, mesh=mesh, in_specs=(spec,),
                              out_specs=spec, check_vma=False)
     return mk(fwd), mk(inv)
@@ -286,6 +290,26 @@ def predict_gridsharded(fb, levels, Nr, Nc, n_rows, n_cols):
         li_c, ri_c = conv.synthesis_pads(fb.hlen, nc // 2, nc)
         inv += 4 * (_hops(li_r, nr // 2) + _hops(ri_r, nr // 2))
         inv += 2 * (_hops(li_c, nc // 2) + _hops(ri_c, nc // 2))
+    return {"fwd_ppermute": fwd, "inv_ppermute": inv}
+
+
+def predict_gridsharded_swt(fb, levels, Nr, Nc, n_rows, n_cols):
+    """Exact ppermute counts of the grid-sharded STATIONARY path: the
+    a-trous halo dilates 2^(level-1); per level one column exchange on
+    the undecimated image plus two row exchanges (forward), four row +
+    two column plane exchanges with synthesis pads (inverse)."""
+    fwd = inv = 0
+    nrs, ncs = Nr // n_rows, Nc // n_cols  # undecimated: constant
+    s = fb.hlen // 2
+    si = fb.hlen // 2 - 1 if fb.hlen % 2 == 0 else fb.hlen // 2
+    for lev in range(1, levels + 1):
+        f = 1 << (lev - 1)
+        lp, rp = (fb.hlen - 1 - s) * f, s * f
+        fwd += (_hops(lp, ncs) + _hops(rp, ncs))       # cols on x
+        fwd += 2 * (_hops(lp, nrs) + _hops(rp, nrs))   # rows on t1, t2
+        lpi, rpi = (fb.hlen - 1 - si) * f, max(si, 0) * f
+        inv += 4 * (_hops(lpi, nrs) + _hops(rpi, nrs))
+        inv += 2 * (_hops(lpi, ncs) + _hops(rpi, ncs))
     return {"fwd_ppermute": fwd, "inv_ppermute": inv}
 
 

@@ -207,6 +207,24 @@ def test_gridsharded_schedule():
                      shard_elems=32 * 64, max_halo_elems=2 * 64)
 
 
+def test_gridsharded_swt_schedule():
+    """Grid-sharded a-trous: per level 1 undecimated col exchange + 2 row
+    exchanges forward (halo dilates 2^(level-1)), 4 row + 2 col plane
+    exchanges on the synthesis."""
+    fb = get_filter_bank("db2")
+    mesh = pmesh.make_mesh2d(4, 2)
+    nr, nc = 4 * 32, 2 * 64
+    pred = audit.predict_gridsharded_swt(fb, 2, nr, nc, 4, 2)
+    # db2 s=2: lpad=(1,2), rpad=(2,4); single-hop on 32/64 shards ->
+    # per level (1+1) cols + 2*(1+1) rows = 6 -> 12 over 2 levels
+    assert pred["fwd_ppermute"] == 12, pred
+    fwd, inv = audit.gridsharded_fns(fb, 2, mesh, swt=True)
+    x = _struct(mesh, (nr, nc), P(ROW_AXIS, pmesh.COL_AXIS))
+    _assert_schedule(fwd, inv, x, pred, mesh,
+                     P(ROW_AXIS, pmesh.COL_AXIS),
+                     shard_elems=32 * 64, max_halo_elems=4 * 64)
+
+
 def test_seqsharded_1d_schedule():
     fb = get_filter_bank("db2")
     mesh = _mesh_rows(8)

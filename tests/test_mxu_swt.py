@@ -257,3 +257,56 @@ def test_sweep_mxu_swt_long1d_matches_jnp(wname):
     for g, r in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
         assert float(jnp.abs(g - r.astype(jnp.float32)).max()) < 5e-5
     assert float(jnp.abs(y - x).max()) < 7e-4
+
+
+def test_swt_dispatch_crossover_table():
+    """Pin the TPU-measured SWT routing rule (tools/proto_mxu_swt.py,
+    2026-08-19, 1024^2 per-level chained timings; doc/performance.md
+    round-4 table).  VPU for hlen<16 at every level; MXU for hlen>=16
+    while the dilated support (hlen-1)*2^(level-1)+1 stays under the
+    band cliff (96 analysis / 40 synthesis); bf16 mode routes every
+    MXU-eligible bank to the MXU at every level (27 us flat, no cliff)."""
+    from pypwt_tpu.core.swt import _mxu_swt_wanted
+
+    cases = {
+        # (wname, level) -> (analysis_mxu, synthesis_mxu)
+        ("db2", 1): (False, False),    # hlen 4: VPU always
+        ("db2", 4): (False, False),
+        ("db4", 1): (False, False),    # hlen 8: VPU always (46.5 vs 61.1)
+        ("db4", 4): (False, False),
+        ("sym8", 1): (True, True),     # hlen 16 K=16: MXU (61.1 vs 86.9)
+        ("sym8", 2): (True, True),     # K=31
+        ("sym8", 3): (True, False),    # K=61: ana MXU 62.4, syn VPU 58.7
+        ("sym8", 4): (False, False),   # K=121: past the cliff (139 us)
+        ("db10", 1): (True, True),     # hlen 20 K=20
+        ("db10", 2): (True, True),     # K=39: syn MXU 63.5 vs VPU 82.0
+        ("db10", 3): (True, False),    # K=77: ana MXU 64.1 vs VPU 83.4
+        ("db10", 4): (False, False),   # K=153
+    }
+    for (wname, level), (ana, syn) in cases.items():
+        fb = get_filter_bank(wname)
+        assert _mxu_swt_wanted(fb, level) == ana, (wname, level, "ana")
+        assert _mxu_swt_wanted(fb, level, synthesis=True) == syn, (
+            wname, level, "syn")
+
+    # forced mode overrides the table
+    dwt.set_kernels("mxu")
+    try:
+        assert _mxu_swt_wanted(get_filter_bank("db2"), 4)
+    finally:
+        dwt.set_kernels("auto")
+    dwt.set_kernels("jnp")
+    try:
+        assert not _mxu_swt_wanted(get_filter_bank("db10"), 1)
+    finally:
+        dwt.set_kernels("auto")
+
+    # bf16: single-pass dots, measured flat 27 us -> MXU everywhere
+    # the bank is MXU-eligible at all
+    dwt.set_mxu_precision("bf16")
+    try:
+        assert _mxu_swt_wanted(get_filter_bank("db4"), 4)
+        assert _mxu_swt_wanted(get_filter_bank("db10"), 4, synthesis=True)
+        assert not _mxu_swt_wanted(get_filter_bank("db2"), 1)
+    finally:
+        dwt.set_mxu_precision("highest")

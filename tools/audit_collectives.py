@@ -117,6 +117,11 @@ def main():
         gx = struct(gmesh, (nr, nc), P(ROW_AXIS, COL_AXIS))
         check("grid_dwt_db2_L2", gfwd, gx, gpred["fwd_ppermute"])
 
+        # grid-sharded stationary transform (a-trous halos on both rings)
+        wpred = audit.predict_gridsharded_swt(fb, 2, nr, nc, 2, D // 2)
+        wfwd, _ = audit.gridsharded_fns(fb, 2, gmesh, swt=True)
+        check("grid_swt_db2_L2", wfwd, gx, wpred["fwd_ppermute"])
+
     # batch DP (the north-star tomography config): the per-device program
     # must contain ZERO collectives — linear scaling by construction.
     # This path uses GSPMD propagation (not shard_map), so it is the

@@ -216,6 +216,109 @@ def main():
                        xf, fo.fft_swt2d(xf_host, fb, 2)),
                3e-4 * 4 * SCALE)
 
+    # ---- odd sizes ON DEVICE (VERDICT r3 #4: the reference's level
+    # clamp / odd-size rules are load-bearing, utils.cu:23-27,
+    # separable.cu:116-121; odd shapes route to the jnp fallback on TPU,
+    # which had never run on the hardware before this section) ----
+    xo_host = rng.random((509, 509)).astype(np.float32) * SCALE
+    xo = jnp.asarray(xo_host)
+    xo1_host = rng.random(1021).astype(np.float32) * SCALE
+    xo1 = jnp.asarray(xo1_host)
+    for wname in ("haar", "db3", "sym4", "bior4.4"):
+        fb = get_filter_bank(wname)
+        w_o = up32(fo.fft_wavedec2(xo_host, fb, 2))
+
+        def odd_errs(xo, xo1, w_o, fb=fb):
+            rt2 = dwt.waverec2(dwt.wavedec2(xo, fb, 3), fb, (509, 509))
+            rt1 = dwt.waverec1(dwt.wavedec1(xo1, fb, 2), fb, 1021)
+            rts = swt.iswt2d(swt.swt2d(xo, fb, 2), fb)
+            return jnp.stack([
+                jnp.abs(rt2 - xo).max(),
+                jnp.abs(rt1 - xo1).max(),
+                jnp.abs(rts - xo).max(),
+                _tree_diff(dwt.wavedec2(xo, fb, 2), w_o),
+            ])
+
+        errs = np.asarray(jax.jit(odd_errs)(xo, xo1, w_o))
+        for (mode, gate), err in zip([
+                ("dwt2d_509x509_L3", 3e-4 * 8 * SCALE),
+                ("dwt1d_1021_L2", 3e-4 * 4 * SCALE),
+                ("swt2d_509x509_L2", 3e-4 * 4 * SCALE),
+                ("fwd_dwt2d_509x509_L2_vs_oracle", 3e-4 * 4 * SCALE),
+        ], errs):
+            record(wname, mode, float(err), gate)
+
+    # ---- non-separable INVERSE round-trips on device (the reference's
+    # GPU sweep runs inverse non-separable workloads,
+    # test_wavelets.py:580-654; forward-only differentials above don't
+    # touch the 4-phase inverse or the a-trous /4 synthesis) ----
+    for wname in ("db3", "bior4.4"):
+        fb = get_filter_bank(wname)
+        f2d = ns.Filters2D.from_bank(fb)
+
+        def ns_errs(v, f2d=f2d):
+            rt = ns.ns_waverec2(ns.ns_wavedec2(v, f2d, 2), f2d,
+                                (nf, nf))
+            rts = ns.ins_swt2d(ns.ns_swt2d(v, f2d, 2), f2d)
+            return jnp.stack([jnp.abs(rt - v).max(),
+                              jnp.abs(rts - v).max()])
+
+        errs = np.asarray(jax.jit(ns_errs)(xf))
+        record(wname, "nsdwt2d_roundtrip_L2", float(errs[0]),
+               3e-4 * 4 * SCALE)
+        record(wname, "nsswt2d_roundtrip_L2", float(errs[1]),
+               3e-4 * 4 * SCALE)
+
+    # ---- bf16 MXU mode: RELATIVE-error gate (<=1.5%, the advertised
+    # ~1% + margin) and PSNR recorded, across every MXU-routed bank
+    # (VERDICT r3 weak #4: the mode was device-verified on two bench
+    # rows only).  Roundtrip vs the f32 input: bf16 dots bound the
+    # subband error, synthesis re-accumulates in bf16 too. ----
+    dwt.set_mxu_precision("bf16")
+    try:
+        for wname in names:
+            fb = get_filter_bank(wname)
+            if not dwt._mxu_wanted(fb):
+                continue  # bf16 knob only affects the MXU dots
+
+            def bf16_stats(v, fb=fb):
+                rt = dwt.waverec2(dwt.wavedec2(v, fb, 2), fb, (nf, nf))
+                d = rt - v
+                return jnp.stack([jnp.abs(d).max(),
+                                  jnp.mean(d * d)])
+
+            dwt.set_kernels("mxu")
+            try:
+                mx, mse = np.asarray(jax.jit(bf16_stats)(xf))
+            finally:
+                dwt.set_kernels("auto")
+            rel = float(mx) / SCALE
+            psnr = float(10.0 * np.log10(SCALE * SCALE
+                                         / max(mse, 1e-30)))
+            record(wname, "dwt2d_roundtrip_L2_bf16_rel", rel, 0.015,
+                   extra={"psnr_db": round(psnr, 1),
+                          "max_abs": float(f"{mx:.3e}")})
+    finally:
+        dwt.set_mxu_precision("highest")
+
+    # ---- float64 (TPU f64 is emulated by XLA; the dtype-generic core
+    # must still reconstruct to f64-grade error) ----
+    jax.config.update("jax_enable_x64", True)
+    try:
+        x64 = jnp.asarray(
+            rng.random((256, 256), dtype=np.float64) * SCALE)
+        fb = get_filter_bank("db2")
+
+        def f64_err(v, fb=fb):
+            rt = dwt.waverec2(dwt.wavedec2(v, fb, 3), fb, (256, 256))
+            return jnp.abs(rt - v).max()
+
+        err64 = float(jax.jit(f64_err)(x64))
+        record("db2", "dwt2d_roundtrip_L3_float64", err64,
+               1e-10 * SCALE, extra={"dtype": "float64"})
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
     elapsed = time.time() - t_start
     print(f"\n{len(rows)} checks in {elapsed:.0f}s on {dev} ({backend}); "
           f"{len(failed)} failed", file=sys.stderr)
