@@ -55,7 +55,7 @@ def set_kernels(mode: str):
 # MXU dot precision.  "highest" (default) is the six-pass ~fp32 scheme
 # that meets the reference's 3e-4 * 2^level ABSOLUTE envelope on 0..255
 # data.  "bf16" runs single-pass bf16 MXU dots — ~6x the MXU rate for
-# wide filters — for throughput-first workloads that tolerate ~1%
+# wide filters — for throughput-first workloads that tolerate ~1% RMS
 # relative error (measured ~2.5 abs on 255-scale data at 2048^2).  Read
 # at trace time like _KERNEL_MODE; plan caches key on it.
 _MXU_PRECISION = os.environ.get("PYPWT_MXU_PRECISION", "highest")
@@ -63,7 +63,8 @@ _MXU_PRECISION = os.environ.get("PYPWT_MXU_PRECISION", "highest")
 
 def set_mxu_precision(prec: str):
     """Select MXU dot precision: 'highest' (fp32-exact six-pass,
-    default) or 'bf16' (single-pass, ~1% relative error, fastest)."""
+    default) or 'bf16' (single-pass, ~1% RMS / <=3.5% worst-pixel
+    relative error measured on-device, fastest)."""
     global _MXU_PRECISION
     if prec not in ("highest", "bf16"):
         raise ValueError("mxu precision must be highest|bf16")

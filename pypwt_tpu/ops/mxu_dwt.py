@@ -16,7 +16,8 @@ envelope (measured 2.5 abs err on 255-scale data) and even a 4-term
 bf16-split scheme only carries ~17 mantissa bits (4.3e-3 abs err), so
 these kernels default to HIGHEST (measured err ~1e-4 at 2048^2, within
 the 3e-4 * 2^level envelope).  core.dwt.set_mxu_precision("bf16")
-opts into single-pass DEFAULT dots (~6x MXU rate, ~1% relative error)
+opts into single-pass DEFAULT dots (~6x MXU rate, ~1% RMS error,
+up to ~3.5% worst-pixel — measured over all 67 MXU banks on v5e)
 for throughput-first workloads; builders key their lru caches on the
 knob so both modes coexist.
 

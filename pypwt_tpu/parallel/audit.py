@@ -293,6 +293,33 @@ def predict_gridsharded(fb, levels, Nr, Nc, n_rows, n_cols):
     return {"fwd_ppermute": fwd, "inv_ppermute": inv}
 
 
+def seqsharded_swt_fns(fb, levels, mesh, axis_name=ROW_AXIS):
+    n = mesh.shape[axis_name]
+    spec = P(axis_name)
+    fwd = lambda x: spatial._local_swt1_seq(x, fb, levels, axis_name, n)
+    inv = lambda c: spatial._local_iswt1_seq(c, fb, axis_name, n)
+    mk = lambda f: shard_map(f, mesh=mesh, in_specs=(spec,),
+                             out_specs=spec, check_vma=False)
+    return mk(fwd), mk(inv)
+
+
+def predict_seqsharded_swt(fb, levels, N, n_shards):
+    """Exact ppermute counts of the seq-sharded stationary 1D path:
+    one dilated exchange per level forward, two plane exchanges per
+    level on the synthesis."""
+    fwd = inv = 0
+    n = N // n_shards  # undecimated: constant per level
+    s = fb.hlen // 2
+    si = fb.hlen // 2 - 1 if fb.hlen % 2 == 0 else fb.hlen // 2
+    for lev in range(1, levels + 1):
+        f = 1 << (lev - 1)
+        lp, rp = (fb.hlen - 1 - s) * f, s * f
+        fwd += _hops(lp, n) + _hops(rp, n)
+        lpi, rpi = (fb.hlen - 1 - si) * f, max(si, 0) * f
+        inv += 2 * (_hops(lpi, n) + _hops(rpi, n))
+    return {"fwd_ppermute": fwd, "inv_ppermute": inv}
+
+
 def predict_gridsharded_swt(fb, levels, Nr, Nc, n_rows, n_cols):
     """Exact ppermute counts of the grid-sharded STATIONARY path: the
     a-trous halo dilates 2^(level-1); per level one column exchange on

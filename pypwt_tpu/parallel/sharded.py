@@ -26,13 +26,17 @@ from . import spatial
 
 
 class ShardedWavelets:
-    """Spatially-sharded wavelet plan for a single (Nr, Nc) image.
+    """Spatially-sharded wavelet plan for a single (Nr, Nc) image or a
+    single long 1D signal.
 
     Parameters mirror ``Wavelets`` (wname, levels, do_swt,
     do_cycle_spinning); ``mesh`` defaults to all local devices on the
     rows axis (row sharding).  A (rows, cols) mesh from
     ``mesh.make_mesh2d`` selects GRID mode: both image axes sharded,
-    halos on both rings.
+    halos on both rings.  A 1D input selects SEQUENCE mode: the signal
+    axis itself is sharded across the ring (DWT and a-trous SWT), the
+    long-signal configuration the reference's batched-1D kernels never
+    addressed (pypwt.pyx:146-151 transforms rows of one device's image).
 
     Any image size is accepted (the reference's contract, wt.cu:84-185):
     inputs are padded internally (edge-replicated) to the mesh-aligned
@@ -44,23 +48,30 @@ class ShardedWavelets:
     def __init__(self, img, wname, levels, do_swt=0, do_cycle_spinning=0,
                  mesh=None, seed=None):
         img = np.ascontiguousarray(img, dtype=np.float32)
-        if img.ndim != 2:
-            raise ValueError("ShardedWavelets expects a single 2D image")
+        if img.ndim not in (1, 2):
+            raise ValueError(
+                "ShardedWavelets expects a single 1D signal or 2D image")
+        self.ndim = img.ndim
         self.mesh = (mesh if mesh is not None
                      else pmesh.make_mesh(n_data=1,
                                           n_rows=len(jax.devices())))
-        self.grid = pmesh.COL_AXIS in self.mesh.axis_names
+        self.grid = (self.ndim == 2
+                     and pmesh.COL_AXIS in self.mesh.axis_names)
         self.n_rows = self.mesh.shape[pmesh.ROW_AXIS]
         self.n_cols = (self.mesh.shape[pmesh.COL_AXIS] if self.grid
                        else 1)
-        self.Nr, self.Nc = img.shape
+        if self.ndim == 1:
+            self.Nr, self.Nc = img.shape[0], None
+        else:
+            self.Nr, self.Nc = img.shape
         self.shape = tuple(img.shape)
         self.wname = wname
         self.do_swt = int(bool(do_swt))
         self.do_cycle_spinning = int(bool(do_cycle_spinning))
         self._fb = get_filter_bank(wname)
         self.hlen = self._fb.hlen
-        self.levels = clamp_levels(int(levels), img.shape, self.hlen, 2)
+        self.levels = clamp_levels(int(levels), img.shape, self.hlen,
+                                   self.ndim)
 
         # mesh-aligned internal geometry (VERDICT r3 next #5): shards of
         # equal rows/cols, divisible by 2^levels so every level halves
@@ -68,11 +79,20 @@ class ShardedWavelets:
         rmult = self.n_rows << self.levels
         cmult = self.n_cols << self.levels
         self._Nrp = -(-self.Nr // rmult) * rmult
-        self._Ncp = -(-self.Nc // cmult) * cmult
-        self._padded = (self._Nrp, self._Ncp)
+        if self.ndim == 1:
+            self._Ncp = None
+            self._padded = (self._Nrp,)
+        else:
+            self._Ncp = -(-self.Nc // cmult) * cmult
+            self._padded = (self._Nrp, self._Ncp)
 
-        spec = (P(pmesh.ROW_AXIS, pmesh.COL_AXIS) if self.grid
-                else P(pmesh.ROW_AXIS, None))
+        if self.ndim == 1:
+            # sequence-parallel: the SIGNAL axis is sharded
+            spec = P(pmesh.ROW_AXIS)
+        elif self.grid:
+            spec = P(pmesh.ROW_AXIS, pmesh.COL_AXIS)
+        else:
+            spec = P(pmesh.ROW_AXIS, None)
         self._sharding = NamedSharding(self.mesh, spec)
         self._image = self._put(img)
         self._coeffs = None
@@ -87,7 +107,18 @@ class ShardedWavelets:
             from jax.experimental.shard_map import shard_map
         fb, lv = self._fb, self.levels
         nr, nc, ax = self.n_rows, self.n_cols, pmesh.ROW_AXIS
-        if self.grid:
+        if self.ndim == 1:
+            if self.do_swt:
+                loc_fwd = lambda x: spatial._local_swt1_seq(
+                    x, fb, lv, ax, nr)
+                loc_inv = lambda c: spatial._local_iswt1_seq(
+                    c, fb, ax, nr)
+            else:
+                loc_fwd = lambda x: spatial._local_wavedec1_seq(
+                    x, fb, lv, ax, nr)
+                loc_inv = lambda c: spatial._local_waverec1_seq(
+                    c, fb, ax, nr)
+        elif self.grid:
             if self.do_swt:
                 loc_fwd = lambda x: spatial._local_swt2_grid(
                     x, fb, lv, nr, nc)
@@ -115,9 +146,14 @@ class ShardedWavelets:
 
     def _put(self, img):
         """Pad (edge-replicate) to the mesh-aligned size and shard."""
-        pr, pc = self._Nrp - img.shape[0], self._Ncp - img.shape[1]
-        if pr or pc:
-            img = np.pad(img, ((0, pr), (0, pc)), mode="edge")
+        if self.ndim == 1:
+            pr = self._Nrp - img.shape[0]
+            if pr:
+                img = np.pad(img, (0, pr), mode="edge")
+        else:
+            pr, pc = self._Nrp - img.shape[0], self._Ncp - img.shape[1]
+            if pr or pc:
+                img = np.pad(img, ((0, pr), (0, pc)), mode="edge")
         return jax.device_put(jnp.asarray(img), self._sharding)
 
     def forward(self, img=None):
@@ -129,9 +165,10 @@ class ShardedWavelets:
             self._image = self._put(img)
         if self.do_cycle_spinning:
             sr = int(self._rng.integers(0, self._Nrp))
-            sc = int(self._rng.integers(0, self._Ncp))
+            sc = (0 if self.ndim == 1
+                  else int(self._rng.integers(0, self._Ncp)))
             self.current_shift = (sr, sc)
-            self._image = self._roll(self._image, sr, sc)
+            self._image = self._do_roll(self._image, sr, sc)
         self._coeffs = self._fwd(self._image)
         return self
 
@@ -140,13 +177,22 @@ class ShardedWavelets:
         self._image = self._inv(self._coeffs)
         if self.do_cycle_spinning:
             sr, sc = self.current_shift
-            self._image = self._roll(self._image, -sr, -sc)
+            self._image = self._do_roll(self._image, -sr, -sc)
         return self
 
     @staticmethod
     @jax.jit
     def _roll(x, sr, sc):
         return jnp.roll(x, (sr, sc), (-2, -1))
+
+    @staticmethod
+    @jax.jit
+    def _roll_last(x, s):
+        return jnp.roll(x, s, -1)
+
+    def _do_roll(self, x, sr, sc):
+        return (self._roll_last(x, sr) if self.ndim == 1
+                else self._roll(x, sr, sc))
 
     def _guard(self):
         if self._coeffs is None:
@@ -222,14 +268,15 @@ class ShardedWavelets:
         for _ in range(max(1, int(spins))):
             if spins > 1 or self.do_cycle_spinning:
                 sr = int(self._rng.integers(0, self.Nr))
-                sc = int(self._rng.integers(0, self.Nc))
+                sc = (0 if self.ndim == 1
+                      else int(self._rng.integers(0, self.Nc)))
             else:
                 sr = sc = 0
-            x = self._roll(self._image, sr, sc) if (sr or sc) \
+            x = self._do_roll(self._image, sr, sc) if (sr or sc) \
                 else self._image
             y = step(x, beta)
             if sr or sc:
-                y = self._roll(y, -sr, -sc)
+                y = self._do_roll(y, -sr, -sc)
             acc = y if acc is None else acc + y
         self._image = acc / spins if spins > 1 else acc
         self._coeffs = None
@@ -240,7 +287,9 @@ class ShardedWavelets:
     @property
     def image(self):
         # crop the internal mesh-aligned padding back to the user's size
-        return np.asarray(self._image)[: self.Nr, : self.Nc]
+        out = np.asarray(self._image)
+        return (out[: self.Nr] if self.ndim == 1
+                else out[: self.Nr, : self.Nc])
 
     def set_image(self, img):
         img = np.ascontiguousarray(img, dtype=np.float32)
@@ -256,6 +305,10 @@ class ShardedWavelets:
         self._guard()
         if num == 0:
             return self._coeffs[0]
+        if self.ndim == 1:
+            if num > self.levels:
+                raise ValueError(f"coefficient {num} out of range")
+            return self._coeffs[num]
         level = (num - 1) // 3 + 1
         sub = (num - 1) % 3
         if level > self.levels:
@@ -270,7 +323,8 @@ class ShardedWavelets:
         self._guard()
         out = [np.asarray(self._coeffs[0])]
         for i in range(1, self.levels + 1):
-            out.append([np.asarray(s) for s in self._coeffs[i]])
+            out.append(np.asarray(self._coeffs[i]) if self.ndim == 1
+                       else [np.asarray(s) for s in self._coeffs[i]])
         return out
 
     def set_coeff(self, coeff, num, check=False):
@@ -285,6 +339,10 @@ class ShardedWavelets:
             jnp.asarray(coeff.reshape(ref.shape)), ref.sharding)
         if num == 0:
             self._coeffs = [new] + list(self._coeffs[1:])
+        elif self.ndim == 1:
+            c = list(self._coeffs)
+            c[num] = new
+            self._coeffs = c
         else:
             level = (num - 1) // 3 + 1
             sub = (num - 1) % 3
@@ -320,9 +378,13 @@ class ShardedWavelets:
         return 0
 
     def info(self):
-        layout = (f"{self.n_rows}x{self.n_cols} grid-shards" if self.grid
-                  else f"{self.n_rows} row-shards")
+        if self.ndim == 1:
+            layout = f"{self.n_rows} seq-shards"
+        elif self.grid:
+            layout = f"{self.n_rows}x{self.n_cols} grid-shards"
+        else:
+            layout = f"{self.n_rows} row-shards"
         pad = ("" if self._padded == self.shape
-               else f" (padded to {self._Nrp}x{self._Ncp})")
-        print(f"ShardedWavelets: ({self.Nr}, {self.Nc}) {self.wname} "
+               else f" (padded to {'x'.join(map(str, self._padded))})")
+        print(f"ShardedWavelets: {self.shape} {self.wname} "
               f"L{self.levels} swt={self.do_swt} over {layout}{pad}")

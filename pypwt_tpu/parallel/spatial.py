@@ -701,6 +701,64 @@ def iswt2d_gridsharded(coeffs, fb, mesh):
     return jax.jit(fn)(coeffs)
 
 
+def _local_wavedec1_seq(x, fb, levels, axis_name, n_shards):
+    """Shard-local multi-level 1D analysis along the sharded LAST axis
+    (the body of wavedec1_seqsharded, exposed for plan classes)."""
+    a, details = x, []
+    for _ in range(levels):
+        a, d = _analysis_axis_sharded(a, fb, -1, axis_name, n_shards)
+        details.append(d)
+    return [a] + details
+
+
+def _local_waverec1_seq(coeffs, fb, axis_name, n_shards):
+    a = coeffs[0]
+    for lev in range(len(coeffs) - 1, 0, -1):
+        a = _synthesis_axis_sharded(a, coeffs[lev], fb, -1, axis_name,
+                                    n_shards)
+    return a
+
+
+def _local_swt1_seq(x, fb, levels, axis_name, n_shards):
+    """Shard-local multi-level a-trous 1D analysis along the sharded
+    LAST axis (dilated halos ride ppermute; multi-hop for deep levels —
+    no upstream counterpart, the reference is single-GPU)."""
+    a, details = x, []
+    for lev in range(1, levels + 1):
+        a, d = _swt_last_sharded(a, fb, lev, axis_name, n_shards)
+        details.append(d)
+    return [a] + details
+
+
+def _local_iswt1_seq(coeffs, fb, axis_name, n_shards):
+    a = coeffs[0]
+    for lev in range(len(coeffs) - 1, 0, -1):
+        a = _iswt_last_sharded(a, coeffs[lev], fb, lev, axis_name,
+                               n_shards)
+    return a
+
+
+def swt1d_seqsharded(x, fb, levels, mesh, axis_name=ROW_AXIS):
+    """Multi-level stationary 1D transform of a signal whose LAST axis
+    is sharded across chips."""
+    n_shards = mesh.shape[axis_name]
+    spec = P(*([None] * (x.ndim - 1)), axis_name)
+    fn = shard_map(
+        lambda v: _local_swt1_seq(v, fb, levels, axis_name, n_shards),
+        mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)
+    return jax.jit(fn)(x)
+
+
+def iswt1d_seqsharded(coeffs, fb, mesh, axis_name=ROW_AXIS):
+    n_shards = mesh.shape[axis_name]
+    ndim = coeffs[0].ndim
+    spec = P(*([None] * (ndim - 1)), axis_name)
+    fn = shard_map(
+        lambda c: _local_iswt1_seq(c, fb, axis_name, n_shards),
+        mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)
+    return jax.jit(fn)(coeffs)
+
+
 def wavedec1_seqsharded(x, fb, levels, mesh, axis_name=ROW_AXIS):
     """Multi-level 1D transform of signals whose LAST axis is sharded
     across chips — the long-signal ("sequence-parallel") configuration.

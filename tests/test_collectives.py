@@ -237,6 +237,20 @@ def test_seqsharded_1d_schedule():
                      shard_elems=4096, max_halo_elems=8)
 
 
+def test_seqsharded_swt1d_schedule():
+    """Seq-sharded a-trous 1D (ShardedWavelets 1D SWT mode): one dilated
+    exchange per level forward, two plane exchanges on synthesis."""
+    fb = get_filter_bank("db2")
+    mesh = _mesh_rows(8)
+    n = 8 * 1024
+    pred = audit.predict_seqsharded_swt(fb, 3, n, 8)
+    assert pred["fwd_ppermute"] == 6 and pred["inv_ppermute"] == 12
+    fwd, inv = audit.seqsharded_swt_fns(fb, 3, mesh)
+    x = _struct(mesh, (n,), P(ROW_AXIS))
+    _assert_schedule(fwd, inv, x, pred, mesh, P(ROW_AXIS),
+                     shard_elems=1024, max_halo_elems=8)
+
+
 # ---------------------------------------------------------------------------
 # Batch DP (the north-star tomography config): ZERO collectives.
 # Unlike the shard_map paths, this one relies on GSPMD sharding

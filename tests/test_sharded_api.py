@@ -280,3 +280,53 @@ def test_sharded_add_wavelet():
     bad.forward()
     with pytest.raises(ValueError):
         SW.add_wavelet(bad)
+
+
+# ---------------------------------------------------------------------------
+# Sequence mode (1D input: the signal axis itself is sharded)
+# ---------------------------------------------------------------------------
+
+def test_sharded_seq1d_matches_single_plan():
+    sig = np.random.default_rng(20).random(8 * 1024).astype(np.float32)
+    SW = ShardedWavelets(sig, "db3", 3, mesh=_mesh_rows(8))
+    assert SW.ndim == 1
+    SW.forward()
+    W = Wavelets(sig, "db3", 3)
+    W.forward()
+    for num in range(4):
+        np.testing.assert_allclose(SW.coeff_only(num), W.coeff_only(num),
+                                   atol=1e-5)
+    SW.soft_threshold(0.1)
+    W.soft_threshold(0.1)
+    assert abs(SW.norm1() - W.norm1()) / W.norm1() < 1e-5
+    SW.inverse()
+    W.inverse()
+    np.testing.assert_allclose(SW.image, np.ravel(W.image), atol=1e-5)
+
+
+def test_sharded_seq1d_any_size_and_swt():
+    sig = np.random.default_rng(21).random(5000).astype(np.float32)
+    SW = ShardedWavelets(sig, "db2", 2, mesh=_mesh_rows(8))
+    assert SW._padded != sig.shape
+    SW.forward()
+    SW.inverse()
+    np.testing.assert_allclose(SW.image, sig, atol=1e-5)
+    # stationary: dilated halos over the ring, multi-hop at depth
+    SS = ShardedWavelets(sig, "db2", 3, do_swt=1, mesh=_mesh_rows(8))
+    SS.forward()
+    SS.inverse()
+    np.testing.assert_allclose(SS.image, sig, atol=1e-5)
+
+
+def test_sharded_seq1d_denoise_and_set_coeff():
+    sig = np.random.default_rng(22).random(4096).astype(np.float32)
+    SW = ShardedWavelets(sig, "sym4", 2, mesh=_mesh_rows(8), seed=5)
+    SW.denoise(0.05, spins=2)
+    assert SW.image.shape == sig.shape
+    SW.set_image(sig)
+    SW.forward()
+    d1 = SW.coeff_only(1)
+    SW.set_coeff(np.zeros_like(d1), 1, check=True)
+    assert np.abs(SW.coeff_only(1)).max() == 0
+    with pytest.raises(ValueError):
+        SW.coeff_only(3)
