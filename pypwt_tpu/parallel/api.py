@@ -16,11 +16,13 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..filters import get_filter_bank, FilterBank
 from ..core import dwt, haar, swt, thresh
 from ..core.shapes import clamp_levels
 from . import mesh as pmesh
+from . import spatial
 from .batch import shard_stack
 
 _roll_cols = jax.jit(lambda x, sc: jnp.roll(x, sc, -1))
@@ -36,6 +38,14 @@ class BatchedWavelets:
     data-axis size.  ``ndim=1`` transforms each frame row as an
     independent 1D signal (the reference's batched-1D mode,
     pypwt.pyx:146-151, scaled over the mesh).
+
+    HYBRID layout: a mesh whose rows axis is > 1 (``make_mesh(n_data,
+    n_rows)``) shards frames over ``data`` AND each frame's rows over
+    ``rows`` — the stacks-of-large-frames configuration (e.g. v5e-16 as
+    4 data x 4 rows).  Per-frame compute runs the fused sharded kernels
+    with ppermute halo exchange; frame rows are padded internally to the
+    mesh-aligned size (edge-replicated) and cropped on readback, as in
+    ``ShardedWavelets``.
     """
 
     def __init__(self, stack, wname, levels, do_swt=0, mesh=None,
@@ -62,14 +72,59 @@ class BatchedWavelets:
         self.levels = clamp_levels(int(levels), (self.Nr, self.Nc),
                                    self.hlen, self.ndim)
 
-        self._stack = shard_stack(jnp.asarray(stack), self.mesh)
+        self.n_rows = (self.mesh.shape[pmesh.ROW_AXIS]
+                       if pmesh.ROW_AXIS in self.mesh.axis_names else 1)
+        self.hybrid = self.n_rows > 1 and self.ndim == 2
+        if self.hybrid:
+            rmult = self.n_rows << self.levels
+            self._Nrp = -(-self.Nr // rmult) * rmult
+            self._hspec = P(pmesh.BATCH_AXIS, pmesh.ROW_AXIS, None)
+            self._hsharding = NamedSharding(self.mesh, self._hspec)
+        else:
+            self._Nrp = self.Nr
+
+        self._stack = self._put_stack(stack)
         self._coeffs = None
         self._build_plans()
+
+    def _put_stack(self, stack):
+        if not self.hybrid:
+            return shard_stack(jnp.asarray(stack), self.mesh)
+        pr = self._Nrp - stack.shape[1]
+        if pr:
+            stack = np.pad(np.asarray(stack), ((0, 0), (0, pr), (0, 0)),
+                           mode="edge")
+        return jax.device_put(jnp.asarray(stack), self._hsharding)
 
     def _build_plans(self):
         fb = self._fb
         lv = self.levels
         use_haar = fb.hlen == 2 and not self.do_swt
+        if self.hybrid:
+            # frames over data, rows over rows: shard_map-local fused
+            # kernels with ppermute halo exchange on the rows ring (the
+            # leading batch axis rides through the local kernels)
+            try:
+                from jax import shard_map
+            except ImportError:  # pragma: no cover
+                from jax.experimental.shard_map import shard_map
+            ax, nr = pmesh.ROW_AXIS, self.n_rows
+            if self.do_swt:
+                loc_fwd = lambda x: spatial._local_swt2(x, fb, lv, ax, nr)
+                loc_inv = lambda c: spatial._local_iswt2(c, fb, ax, nr)
+            else:
+                loc_fwd = lambda x: spatial._local_wavedec2(
+                    x, fb, lv, ax, nr)
+                loc_inv = lambda c: spatial._local_waverec2(
+                    c, fb, ax, nr)
+            sm = lambda f: shard_map(f, mesh=self.mesh,
+                                     in_specs=(self._hspec,),
+                                     out_specs=self._hspec,
+                                     check_vma=False)
+            self._fwd = jax.jit(sm(loc_fwd))
+            self._inv = jax.jit(sm(loc_inv))
+            self._denoise_cache = {}
+            return
         if self.ndim == 1:
             n = self.Nc
             if use_haar:
@@ -117,7 +172,7 @@ class BatchedWavelets:
             stack = np.asarray(stack, dtype=np.float32)
             if stack.shape != self.shape:
                 raise ValueError("stack shape changed")
-            self._stack = shard_stack(jnp.asarray(stack), self.mesh)
+            self._stack = self._put_stack(stack)
         if self.do_cycle_spinning:
             sr = int(self._rng.integers(0, self.Nr))
             sc = int(self._rng.integers(0, self.Nc))
@@ -201,8 +256,10 @@ class BatchedWavelets:
 
     @property
     def image(self):
-        """The stack, gathered to host (B, Nr, Nc)."""
-        return np.asarray(self._stack)
+        """The stack, gathered to host (B, Nr, Nc); hybrid row padding
+        is cropped back to the user's geometry."""
+        out = np.asarray(self._stack)
+        return out[:, : self.Nr] if self.hybrid else out
 
     def stack_device_array(self):
         return self._stack

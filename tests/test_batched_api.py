@@ -70,3 +70,54 @@ def test_bad_batch_divisibility():
     with pytest.raises(ValueError):
         BatchedWavelets(_stack(b=6), "db2", 1,
                         mesh=pmesh.make_mesh(n_data=4, n_rows=2))
+
+
+# ---------------------------------------------------------------------------
+# Hybrid DP x spatial: frames over data, rows over rows
+# ---------------------------------------------------------------------------
+
+def test_batched_hybrid_matches_single_plan():
+    stack = np.random.default_rng(30).random((4, 128, 64)).astype(
+        np.float32)
+    m = pmesh.make_mesh(n_data=4, n_rows=2)
+    BW = BatchedWavelets(stack, "db3", 2, mesh=m)
+    assert BW.hybrid
+    BW.forward()
+    W = Wavelets(stack[2], "db3", 2)
+    W.forward()
+    for num in range(7):
+        np.testing.assert_allclose(BW.coeff_only(num)[2],
+                                   W.coeff_only(num), atol=1e-5)
+    BW.soft_threshold(0.1)
+    BW.inverse()
+    assert BW.image.shape == stack.shape
+
+
+def test_batched_hybrid_any_rows_and_swt():
+    stack = np.random.default_rng(31).random((2, 100, 64)).astype(
+        np.float32)
+    m = pmesh.make_mesh(n_data=2, n_rows=4)
+    BW = BatchedWavelets(stack, "db2", 2, mesh=m)
+    assert BW.hybrid and BW._Nrp != 100
+    BW.forward()
+    BW.inverse()
+    np.testing.assert_allclose(BW.image, stack, atol=1e-5)
+    BS = BatchedWavelets(stack, "db2", 2, do_swt=1, mesh=m)
+    BS.forward()
+    BS.inverse()
+    np.testing.assert_allclose(BS.image, stack, atol=1e-5)
+
+
+def test_batched_hybrid_denoise_and_cycle_spin():
+    stack = np.random.default_rng(32).random((4, 64, 64)).astype(
+        np.float32)
+    m = pmesh.make_mesh(n_data=4, n_rows=2)
+    BW = BatchedWavelets(stack, "db2", 2, mesh=m, do_cycle_spinning=1,
+                         seed=9)
+    BW.forward()
+    assert BW.current_shift != (0, 0)
+    BW.inverse()
+    np.testing.assert_allclose(BW.image, stack, atol=1e-5)
+    BW2 = BatchedWavelets(stack, "db2", 2, mesh=m)
+    BW2.denoise(0.0)
+    np.testing.assert_allclose(BW2.image, stack, atol=1e-5)
