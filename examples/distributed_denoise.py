@@ -1,11 +1,20 @@
 #!/usr/bin/env python
-"""Distributed denoising on a device mesh, two ways:
+"""Distributed denoising on a device mesh, five ways:
 
 * BatchedWavelets — a (B, Nr, Nc) frame stack data-parallel over chips
   (the tomography/video configuration);
+* BatchedWavelets hybrid — frames over the data axis AND each frame's
+  rows over the rows axis (stacks of large frames);
 * ShardedWavelets — ONE large image with rows sharded across chips,
   halos exchanged over the ICI ring, per-chip compute on the fused
-  Pallas kernels.
+  Pallas kernels;
+* ShardedWavelets grid — BOTH image axes sharded on a (rows, cols)
+  mesh;
+* ShardedWavelets sequence — ONE long 1D signal, the signal axis
+  itself sharded.
+
+Every layout accepts any input size (internal mesh-aligned padding,
+cropped on readback).
 
 Runs anywhere: on a CPU-only machine set
 
@@ -84,6 +93,37 @@ def main():
     print(f"ShardedWavelets  ({ndev} row shards, 4 spins): "
           f"noisy {psnr(big_clean[0], big_noisy[0]):.1f} dB -> "
           f"denoised {psnr(big_clean[0], SW.image):.1f} dB")
+
+    # --- hybrid: frames over data AND rows over rows ---
+    if ndev % 2 == 0 and ndev >= 4:
+        nd, nr = ndev // 2, 2
+        hclean, hnoisy = make_frames(nd, args.size, rng)
+        HB = BatchedWavelets(hnoisy, "db2", 3,
+                             mesh=pmesh.make_mesh(n_data=nd, n_rows=nr))
+        HB.denoise(args.beta)
+        print(f"BatchedWavelets  hybrid ({nd} frames x {nr} row shards): "
+              f"noisy {psnr(hclean, hnoisy):.1f} dB -> "
+              f"denoised {psnr(hclean, HB.image):.1f} dB")
+
+    # --- grid: both image axes sharded ---
+    if ndev % 2 == 0 and ndev >= 4:
+        GW = ShardedWavelets(big_noisy[0], "db2", 3,
+                             mesh=pmesh.make_mesh2d(2, ndev // 2))
+        GW.denoise(args.beta)
+        print(f"ShardedWavelets  grid (2x{ndev // 2}): "
+              f"noisy {psnr(big_clean[0], big_noisy[0]):.1f} dB -> "
+              f"denoised {psnr(big_clean[0], GW.image):.1f} dB")
+
+    # --- sequence: one long 1D signal, the signal axis sharded ---
+    tt = np.linspace(0, 60, 100_003, dtype=np.float32)
+    sig = (np.sin(2 * np.pi * tt) * 80 + 120).astype(np.float32)
+    nsig = sig + rng.normal(0, 25, sig.shape).astype(np.float32)
+    Q = ShardedWavelets(nsig, "db3", 4,
+                        mesh=pmesh.make_mesh(n_data=1, n_rows=ndev))
+    Q.denoise(args.beta)
+    print(f"ShardedWavelets  sequence ({ndev} shards, 100003 samples): "
+          f"noisy {psnr(sig, nsig):.1f} dB -> "
+          f"denoised {psnr(sig, Q.image):.1f} dB")
 
 
 if __name__ == "__main__":
