@@ -84,6 +84,21 @@ def _pallas_enabled():
     return jax.default_backend() == "tpu"
 
 
+# Long-1D folded-plane routing, measured on TPU v5e (4Mi samples, L5
+# DWT / L3 SWT roundtrips, chained; doc/performance.md round-4 table):
+# the VPU fold kernel wins up to hlen 8 (db4 DWT 643.5 us vs 783.6 MXU),
+# ties at 10, and CLIFFS at hlen >= 12 (6.5 ms — per-tap temporaries in
+# the transposed fold blow VMEM and the path degrades), so the banded
+# MXU takes over earlier than in 2D.
+_LONG1D_MXU_MIN_HLEN = 10
+
+
+def _mxu_long_wanted(fb):
+    if _KERNEL_MODE == "mxu":
+        return True
+    return _KERNEL_MODE == "auto" and fb.hlen >= _LONG1D_MXU_MIN_HLEN
+
+
 def _mxu_wanted(fb):
     """MXU routing: wide filters only.  An hlen-4 MXU synthesis wins in
     an isolated level-0 pair (db2 136 vs 143 us at 2048^2) but LOSES ~7us
@@ -115,7 +130,7 @@ def dwt1d(x, fb):
         rc = conv.long1d_shape(x.shape[0])
         if rc is not None and fb.hlen <= rc[1] // 2:
             if _pallas_enabled():
-                if _mxu_wanted(fb):
+                if _mxu_long_wanted(fb):
                     r = _mx().dwt1d_long_fused_mxu(x, fb, rc)
                     if r is not None:
                         return r
@@ -140,7 +155,7 @@ def idwt1d(a, d, fb, n_out):
         rc = conv.long1d_shape(a.shape[0])
         if rc is not None and fb.hlen <= rc[1] // 2:
             if _pallas_enabled():
-                if _mxu_wanted(fb):
+                if _mxu_long_wanted(fb):
                     r = _mx().idwt1d_long_fused_mxu(a, d, fb, n_out, rc)
                     if r is not None:
                         return r

@@ -45,6 +45,17 @@ def _mx():
 _SWT_MXU_MIN_HLEN = 16
 _SWT_SUPPORT_CLIFF_ANA = 96
 _SWT_SUPPORT_CLIFF_SYN = 40
+# Long-1D folded a-trous: measured at 4Mi/L3 (round-4 table) the VPU
+# fold wins to hlen 10 (db5 753.5 us vs 975.3 MXU), MXU from hlen 12
+# (db6 1036.7 vs 1102.3; db7 1044.6 vs 1241.9; sym8 1045.2 vs 1394.1).
+_SWT_LONG_MXU_MIN_HLEN = 12
+
+
+def _mxu_swt_long_wanted(fb):
+    if _dwt._KERNEL_MODE == "mxu":
+        return True
+    return (_dwt._KERNEL_MODE == "auto"
+            and fb.hlen >= _SWT_LONG_MXU_MIN_HLEN)
 
 
 def _mxu_swt_wanted(fb, level, synthesis=False):
@@ -68,7 +79,7 @@ def swt1d_level(x, fb, level):
         rc = conv.long1d_shape(x.shape[0])
         if rc is not None:
             if _pallas_enabled():
-                if _mxu_swt_wanted(fb, level):
+                if _mxu_swt_long_wanted(fb):
                     r = _mx().swt1d_long_fused_mxu(x, fb, level, rc)
                     if r is not None:
                         return r
@@ -93,7 +104,7 @@ def iswt1d_level(a, d, fb, level):
         rc = conv.long1d_shape(a.shape[0])
         if rc is not None:
             if _pallas_enabled():
-                if _mxu_swt_wanted(fb, level, synthesis=True):
+                if _mxu_swt_long_wanted(fb):
                     r = _mx().iswt1d_long_fused_mxu(a, d, fb, level, rc)
                     if r is not None:
                         return r

@@ -310,3 +310,26 @@ def test_swt_dispatch_crossover_table():
         assert not _mxu_swt_wanted(get_filter_bank("db2"), 1)
     finally:
         dwt.set_mxu_precision("highest")
+
+
+def test_long1d_dispatch_crossover():
+    """Pin the long-1D routing (4Mi-sample chained measurements,
+    doc/performance.md round-4 table): DWT long routes MXU from
+    hlen>=10, SWT long from hlen>=12; the 2D rules are unchanged."""
+    from pypwt_tpu.core.dwt import _mxu_long_wanted
+    from pypwt_tpu.core.swt import _mxu_swt_long_wanted
+
+    for wname, dwt_mxu, swt_mxu in [
+            ("db2", False, False), ("db4", False, False),
+            ("db5", True, False), ("db6", True, True),
+            ("sym8", True, True), ("db10", True, True)]:
+        fb = get_filter_bank(wname)
+        assert _mxu_long_wanted(fb) == dwt_mxu, wname
+        assert _mxu_swt_long_wanted(fb) == swt_mxu, wname
+
+    dwt.set_kernels("mxu")
+    try:
+        assert _mxu_long_wanted(get_filter_bank("db2"))
+        assert _mxu_swt_long_wanted(get_filter_bank("db2"))
+    finally:
+        dwt.set_kernels("auto")
