@@ -252,6 +252,21 @@ def main():
                lambda: timeit_chained(rtsl, l0, iters=8),
                lambda: rt_err(rtsl, l0),
                min_bytes=int(6 * 4 * nl * 4))
+        # middle band (hlen 8): the round-4 crossover re-route (VPU fold
+        # for DWT long below hlen 10 / SWT long below 12) — these rows
+        # keep the regression visible
+        fb4l = get_filter_bank("db4")
+        rtl4 = lambda v: dwt.waverec1(dwt.wavedec1(v, fb4l, 5), fb4l, nl)
+        record("dwt1d_long_roundtrip_db4_L5_4Mi",
+               lambda: timeit_chained(rtl4, l0, iters=16),
+               lambda: rt_err(rtl4, l0),
+               min_bytes=int(2 * 2 * 2 * nl * 4))
+        rtsl4 = lambda v: swt.iswt1d(swt.swt1d(v, fb4l, 3), fb4l)
+        record("swt1d_long_roundtrip_db4_L3_4Mi",
+               lambda: timeit_chained(rtsl4, l0, iters=8),
+               lambda: rt_err(rtsl4, l0),
+               min_bytes=int(6 * 3 * nl * 4))
+
         # wide filter: records whichever path serves it (the fused
         # long-SWT builder declines wide x narrow-fold geometries)
         fbw8l = get_filter_bank("sym8")
