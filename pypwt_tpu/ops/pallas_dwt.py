@@ -305,6 +305,110 @@ def dwt2d_fused(x, fb):
 
 
 # ---------------------------------------------------------------------------
+# Column-split fused analysis (wide images).
+#
+# At 4096 cols a full-width ib=1024 band does not fit VMEM (compiler-
+# verified: "Used 142.89M of 128.00M", doc/performance.md round 4), so
+# full-width geometry is stuck at ib=512.  Splitting the grid over column
+# blocks restores the 2048-grade band shape: each program owns an
+# (ib x cb) tile plus periodically-wrapped halo blocks on BOTH axes
+# (column halos are one 128-lane register tile — the minimum fetch).  The
+# lane-axis periodic wrap therefore happens ACROSS grid programs; the
+# in-kernel column pass consumes an already lane-padded band instead of
+# self-wrapping.
+# ---------------------------------------------------------------------------
+
+_COL_HALO = 128  # lane-axis halo block width: one full register tile
+
+
+def _specs_grid2d(body_rows, halo_rows, total_rows, cb, total_cols):
+    """Nine input BlockSpecs (3 row-positions x 3 col-positions), both
+    axes wrapping periodically across the grid."""
+    bib = body_rows // halo_rows
+    gh = total_rows // halo_rows
+    bjc = cb // _COL_HALO
+    gw = total_cols // _COL_HALO
+    rows = ((halo_rows, lambda i: (i * bib - 1) % gh),
+            (body_rows, lambda i: i),
+            (halo_rows, lambda i: ((i + 1) * bib) % gh))
+    cols = ((_COL_HALO, lambda j: (j * bjc - 1) % gw),
+            (cb, lambda j: j),
+            (_COL_HALO, lambda j: ((j + 1) * bjc) % gw))
+    return [pl.BlockSpec((rh, cw),
+                         lambda i, j, rm=rm, cm=cm: (rm(i), cm(j)),
+                         memory_space=pltpu.VMEM)
+            for rh, rm in rows for cw, cm in cols]
+
+
+def _gather_band2d(refs, lpr, rpr, lpc, rpc):
+    """Assemble the two-axis padded band from the nine (row x col)
+    blocks; the lane pads are sliced off the 128-wide halo tiles."""
+    (t_l, t_c, t_r, m_l, m_c, m_r, b_l, b_c, b_r) = refs
+    parts = [_gather_rows(t_c, m_c, b_c, lpr, rpr)]
+    if lpc:
+        left = _gather_rows(t_l, m_l, b_l, lpr, rpr)
+        parts.insert(0, left[:, _COL_HALO - lpc:])
+    if rpc:
+        right = _gather_rows(t_r, m_r, b_r, lpr, rpr)
+        parts.append(right[:, :rpc])
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+
+def _analysis_cols_prepad(t, flo, fhi, n_out):
+    """Decimating analysis along the lane axis of an already lane-padded
+    plane (colsplit kernels pad across grid programs — no self-wrap)."""
+    lo, hi = _analysis_sub(t.T, flo, fhi, n_out // 2)
+    return lo.T, hi.T
+
+
+def _dwt2d_colsplit_kernel(flo, fhi, lpr, rpr, lpc, rpc, ib, cb, refs):
+    in_refs, (a_ref, h_ref, v_ref, d_ref) = refs[:9], refs[9:]
+    band = _gather_band2d(in_refs, lpr, rpr, lpc, rpc)
+    lo_r, hi_r = _analysis_sub(band, flo, fhi, ib // 2)
+    a, v = _analysis_cols_prepad(lo_r, flo, fhi, cb)
+    h, d = _analysis_cols_prepad(hi_r, flo, fhi, cb)
+    a_ref[:, :] = a
+    h_ref[:, :] = h
+    v_ref[:, :] = v
+    d_ref[:, :] = d
+
+
+@functools.lru_cache(maxsize=512)
+def _build_dwt2d_colsplit(nr, nc, flo, fhi, ib, cb, interpret):
+    """Fused analysis level with a (row-band x column-block) grid; None
+    if the geometry doesn't tile."""
+    hlen = len(flo)
+    if hlen % 2:
+        return None
+    lp, rp = conv.analysis_pads(hlen)
+    if max(lp, rp) > _COL_HALO:
+        return None
+    halo = max(lp, rp, 1)
+    hh = next((c for c in (8, 16, 32)
+               if c >= halo and nr % c == 0 and ib % c == 0), None)
+    if (hh is None or nr % ib or nc % cb or cb % _COL_HALO
+            or cb >= nc or cb % 2):
+        return None
+    in_specs = _specs_grid2d(ib, hh, nr, cb, nc)
+    out_spec = pl.BlockSpec((ib // 2, cb // 2), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr // 2, nc // 2), jnp.float32)
+    kern = functools.partial(_dwt2d_colsplit_kernel, flo, fhi,
+                             lp, rp, lp, rp, ib, cb)
+    call = pl.pallas_call(
+        lambda *refs: kern(refs),
+        grid=(nr // ib, nc // cb),
+        in_specs=in_specs,
+        out_specs=[out_spec] * 4,
+        out_shape=[out_sds] * 4,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+    return lambda x: call(*([x] * 9))
+
+
+# ---------------------------------------------------------------------------
 # Fused synthesis level
 # ---------------------------------------------------------------------------
 

@@ -59,6 +59,34 @@ def test_fused_batched_vmap():
     assert float(jnp.abs(y - x).max()) < 5e-6
 
 
+@pytest.mark.parametrize("wname", WAVELETS)
+@pytest.mark.parametrize("geom", [(64, 256, 32, 128), (128, 512, 64, 256),
+                                  (64, 384, 32, 128)])
+def test_colsplit_analysis_matches_jnp(wname, geom):
+    """Column-split grid (wide images whose full-width band is
+    VMEM-infeasible) must agree with the jnp oracle for every subband —
+    the lane-axis periodic wrap crosses grid programs here."""
+    nr, nc, ib, cb = geom
+    fb = get_filter_bank(wname)
+    f = pk._build_dwt2d_colsplit(nr, nc, pk._taps(fb.dec_lo),
+                                 pk._taps(fb.dec_hi), ib, cb, True)
+    assert f is not None
+    x = _rand((nr, nc))
+    ref = dwt.dwt2d(x, fb)
+    for g, r in zip(f(x), ref):
+        assert float(jnp.abs(g - r.astype(jnp.float32)).max()) < 2e-5
+
+
+def test_colsplit_geometry_gates():
+    fb = get_filter_bank("db2")
+    taps = (pk._taps(fb.dec_lo), pk._taps(fb.dec_hi))
+    # cb must split the width strictly and on 128-lane boundaries
+    assert pk._build_dwt2d_colsplit(64, 256, *taps, 32, 256, True) is None
+    assert pk._build_dwt2d_colsplit(64, 256, *taps, 32, 96, True) is None
+    # row band must tile the height
+    assert pk._build_dwt2d_colsplit(96, 256, *taps, 64, 128, True) is None
+
+
 def test_fallback_on_odd_sizes():
     fb = get_filter_bank("db2")
     assert pk.dwt2d_fused(_rand((63, 128)), fb) is None
