@@ -120,6 +120,44 @@ def _pick_b(span, L, row_mult, k_mult):
 
 
 # ---------------------------------------------------------------------------
+# Polyphase (compact) a-trous formulation.
+#
+# The dilated correlation out[i] = sum_k f[k] xp[i + (hlen-1-k)*t] couples
+# only indices of equal residue mod t, so a dilation-t a-trous pass over a
+# padded (L + (hlen-1)*t, W) plane IS a level-1 COMPACT pass over the same
+# plane reshaped row-major to ((L + (hlen-1)*t)/t, t*W): reshaped row a
+# holds original rows [a*t, (a+1)*t), so original row a*t + p sits at
+# reshaped (a, p*W + w) and the compact correlation over a advances by
+# exactly t original rows — every phase p rides along the widened lane
+# axis for free.  No strided slicing, no phase loop: two contiguous
+# reshapes around the existing blocked dots.
+#
+# This keeps the banded contraction at K = b + hlen - 1 at EVERY level.
+# The round-4 measured K-cliff (banded cost ~doubling once
+# K = b + (hlen-1)*2^(level-1) crossed ~100; synthesis declining from
+# K ~ 40 because it re-bands two operands) was an artifact of carrying
+# the dilation zeros inside the band, not a property of the chip
+# (VERDICT r4 next #1).  Applies whenever t divides the transform
+# length; the banded form remains as the fallback.
+# ---------------------------------------------------------------------------
+
+
+def _poly_t(level, *Ls):
+    """The dilation 2^(level-1) if the polyphase reshape applies to every
+    transform length in ``Ls`` (and the padded totals, which follow), else
+    1 (banded fallback)."""
+    t = 1 << (level - 1)
+    if t > 1 and all(L % t == 0 for L in Ls):
+        return t
+    return 1
+
+
+def _mat_level(level, te):
+    """Matrix dilation level: compact (1) under the polyphase reshape."""
+    return 1 if te > 1 else level
+
+
+# ---------------------------------------------------------------------------
 # In-kernel banded-dot a-trous passes (sublane axis)
 # ---------------------------------------------------------------------------
 
@@ -159,6 +197,28 @@ def _swt_syn_dots(lop, hip, Sm, Sr, b, K, L):
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
+def _ana_dots_auto(xp, Dm, Dr, b, K, L, te):
+    """_swt_ana_dots, through the polyphase reshape when te > 1 (the
+    matrices are then the COMPACT level-1 ones and operate on the
+    (Ltot/te, te*W) view; see the polyphase note above)."""
+    if te == 1:
+        return _swt_ana_dots(xp, Dm, Dr, b, K, L)
+    W = xp.shape[1]
+    xq = xp.reshape(xp.shape[0] // te, te * W)
+    lo, hi = _swt_ana_dots(xq, Dm, Dr, b, K, L // te)
+    return lo.reshape(L, W), hi.reshape(L, W)
+
+
+def _syn_dots_auto(lop, hip, Sm, Sr, b, K, L, te):
+    """_swt_syn_dots through the polyphase reshape when te > 1."""
+    if te == 1:
+        return _swt_syn_dots(lop, hip, Sm, Sr, b, K, L)
+    W = lop.shape[1]
+    lq = lop.reshape(lop.shape[0] // te, te * W)
+    hq = hip.reshape(hip.shape[0] // te, te * W)
+    return _swt_syn_dots(lq, hq, Sm, Sr, b, K, L // te).reshape(L, W)
+
+
 # ---------------------------------------------------------------------------
 # Fused 2D analysis level
 # ---------------------------------------------------------------------------
@@ -167,24 +227,26 @@ def _swt_syn_dots(lop, hip, Sm, Sr, b, K, L):
 def _build_swt2d_mxu(nr, nc, flo, fhi, level, interpret, prec="highest"):
     hlen = len(flo)
     t = 1 << (level - 1)
-    span = (hlen - 1) * t
     lp, rp, _, _ = pk._swt_pads(hlen, level, inverse=False)
     bands = pk._pick_bands_swt(nr, nc, lp, rp, n_bufs=8)
     if bands is None:
         return None
     ib, hh = bands
-    b = _pick_b(span, min(ib, nc), row_mult=2, k_mult=1)
+    te = _poly_t(level, ib, nc)
+    span = (hlen - 1) * (t // te)
+    b = _pick_b(span, min(ib, nc) // te, row_mult=2, k_mult=1)
     if b < 1:
         return None
 
-    Dm, K = swt_analysis_matrix(flo, fhi, b, level)
+    Dm, K = swt_analysis_matrix(flo, fhi, b, _mat_level(level, te))
     mats = [Dm]
     rems = []
-    for L in (ib, nc):
+    for L in (ib // te, nc // te):
         r = L - (L // b) * b
         if r:
             rems.append(len(mats))
-            mats.append(swt_analysis_matrix(flo, fhi, r, level)[0])
+            mats.append(swt_analysis_matrix(flo, fhi, r,
+                                            _mat_level(level, te))[0])
         else:
             rems.append(None)
 
@@ -203,11 +265,11 @@ def _build_swt2d_mxu(nr, nc, flo, fhi, level, interpret, prec="highest"):
         Dr_col = ms[rems[1]] if rems[1] is not None else None
 
         rows = pk._gather_rows(top_ref, body_ref, bot_ref, lp, rp)
-        lo_r, hi_r = _swt_ana_dots(rows, ms[0], Dr_row, b, K, ib)
+        lo_r, hi_r = _ana_dots_auto(rows, ms[0], Dr_row, b, K, ib, te)
 
         def cols(x):
             tp = pk._pad_lanes_T(x, lp, rp)
-            l2, h2 = _swt_ana_dots(tp, ms[0], Dr_col, b, K, nc)
+            l2, h2 = _ana_dots_auto(tp, ms[0], Dr_col, b, K, nc, te)
             return l2.T, h2.T
 
         a, v = cols(lo_r)
@@ -261,24 +323,26 @@ def swt2d_level_fused_mxu(x, fb, level):
 def _build_iswt2d_mxu(nr, nc, flo, fhi, level, interpret, prec="highest"):
     hlen = len(flo)
     t = 1 << (level - 1)
-    span = (hlen - 1) * t
     lp, rp, _, _ = pk._swt_pads(hlen, level, inverse=True)
     bands = pk._pick_bands_swt(nr, nc, lp, rp, n_bufs=16)
     if bands is None:
         return None
     ib, hh = bands
-    b = _pick_b(span, min(ib, nc), row_mult=1, k_mult=2)
+    te = _poly_t(level, ib, nc)
+    span = (hlen - 1) * (t // te)
+    b = _pick_b(span, min(ib, nc) // te, row_mult=1, k_mult=2)
     if b < 1:
         return None
 
-    Sm, K = swt_synthesis_matrix(flo, fhi, b, level)
+    Sm, K = swt_synthesis_matrix(flo, fhi, b, _mat_level(level, te))
     mats = [Sm]
     rems = []
-    for L in (ib, nc):
+    for L in (ib // te, nc // te):
         r = L - (L // b) * b
         if r:
             rems.append(len(mats))
-            mats.append(swt_synthesis_matrix(flo, fhi, r, level)[0])
+            mats.append(swt_synthesis_matrix(flo, fhi, r,
+                                             _mat_level(level, te))[0])
         else:
             rems.append(None)
 
@@ -301,13 +365,13 @@ def _build_iswt2d_mxu(nr, nc, flo, fhi, level, interpret, prec="highest"):
         vr = pk._gather_rows(*blocks[6:9], lp, rp)
         dr = pk._gather_rows(*blocks[9:12], lp, rp)
 
-        t1 = _swt_syn_dots(ar, hr, ms[0], Sr_row, b, K, ib)
-        t2 = _swt_syn_dots(vr, dr, ms[0], Sr_row, b, K, ib)
+        t1 = _syn_dots_auto(ar, hr, ms[0], Sr_row, b, K, ib, te)
+        t2 = _syn_dots_auto(vr, dr, ms[0], Sr_row, b, K, ib, te)
 
         lop = pk._pad_lanes_T(t1, lp, rp)
         hip = pk._pad_lanes_T(t2, lp, rp)
-        out_ref[:, :] = _swt_syn_dots(lop, hip, ms[0], Sr_col, b, K,
-                                      nc).T
+        out_ref[:, :] = _syn_dots_auto(lop, hip, ms[0], Sr_col, b, K,
+                                       nc, te).T
 
     call = pl.pallas_call(
         kern, grid=(nr // ib,),
@@ -353,20 +417,23 @@ def iswt2d_level_fused_mxu(a, h, v, d, fb, level):
 def _build_swt1d_mxu(nr, nc, flo, fhi, level, interpret, prec="highest"):
     hlen = len(flo)
     t = 1 << (level - 1)
-    span = (hlen - 1) * t
     lp, rp, _, _ = pk._swt_pads(hlen, level, inverse=False)
     bands = pk._pick_bands_swt(nr, nc, 0, 0, n_bufs=8)
     if bands is None:
         return None
     ib, _ = bands
-    b = _pick_b(span, nc, row_mult=2, k_mult=1)
+    te = _poly_t(level, nc)
+    span = (hlen - 1) * (t // te)
+    b = _pick_b(span, nc // te, row_mult=2, k_mult=1)
     if b < 1:
         return None
-    Dm, K = swt_analysis_matrix(flo, fhi, b, level)
+    Dm, K = swt_analysis_matrix(flo, fhi, b, _mat_level(level, te))
     mats = [Dm]
-    r = nc - (nc // b) * b
+    ncq = nc // te
+    r = ncq - (ncq // b) * b
     if r:
-        mats.append(swt_analysis_matrix(flo, fhi, r, level)[0])
+        mats.append(swt_analysis_matrix(flo, fhi, r,
+                                        _mat_level(level, te))[0])
     n_mats = len(mats)
 
     d_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -382,7 +449,7 @@ def _build_swt1d_mxu(nr, nc, flo, fhi, level, interpret, prec="highest"):
         lo_ref, hi_ref = refs[n_mats + 1:]
         Dr = ms[1] if n_mats > 1 else None
         tp = pk._pad_lanes_T(body_ref[:, :], lp, rp)
-        lo, hi = _swt_ana_dots(tp, ms[0], Dr, b, K, nc)
+        lo, hi = _ana_dots_auto(tp, ms[0], Dr, b, K, nc, te)
         lo_ref[:, :] = lo.T
         hi_ref[:, :] = hi.T
 
@@ -417,20 +484,23 @@ def swt1d_level_fused_mxu(x, fb, level):
 def _build_iswt1d_mxu(nr, nc, flo, fhi, level, interpret, prec="highest"):
     hlen = len(flo)
     t = 1 << (level - 1)
-    span = (hlen - 1) * t
     lp, rp, _, _ = pk._swt_pads(hlen, level, inverse=True)
     bands = pk._pick_bands_swt(nr, nc, 0, 0, n_bufs=8)
     if bands is None:
         return None
     ib, _ = bands
-    b = _pick_b(span, nc, row_mult=1, k_mult=2)
+    te = _poly_t(level, nc)
+    span = (hlen - 1) * (t // te)
+    b = _pick_b(span, nc // te, row_mult=1, k_mult=2)
     if b < 1:
         return None
-    Sm, K = swt_synthesis_matrix(flo, fhi, b, level)
+    Sm, K = swt_synthesis_matrix(flo, fhi, b, _mat_level(level, te))
     mats = [Sm]
-    r = nc - (nc // b) * b
+    ncq = nc // te
+    r = ncq - (ncq // b) * b
     if r:
-        mats.append(swt_synthesis_matrix(flo, fhi, r, level)[0])
+        mats.append(swt_synthesis_matrix(flo, fhi, r,
+                                         _mat_level(level, te))[0])
     n_mats = len(mats)
 
     d_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -446,7 +516,8 @@ def _build_iswt1d_mxu(nr, nc, flo, fhi, level, interpret, prec="highest"):
         Sr = ms[1] if n_mats > 1 else None
         lop = pk._pad_lanes_T(a_ref[:, :], lp, rp)
         hip = pk._pad_lanes_T(dd_ref[:, :], lp, rp)
-        out_ref[:, :] = _swt_syn_dots(lop, hip, ms[0], Sr, b, K, nc).T
+        out_ref[:, :] = _syn_dots_auto(lop, hip, ms[0], Sr, b, K, nc,
+                                       te).T
 
     call = pl.pallas_call(
         kern, grid=(nr // ib,),
@@ -486,7 +557,6 @@ def build_swt2d_sharded_mxu(nr, nc, flo, fhi, level, interpret, prec="highest"):
     the MXU, or None.  fused_fn(x, ext_top, ext_bot) -> (a, h, v, d)."""
     hlen = len(flo)
     t = 1 << (level - 1)
-    span = (hlen - 1) * t
     lp, rp, _, _ = pk._swt_pads(hlen, level, inverse=False)
     if max(lp, rp) > nc:
         return None  # column (local) axis wrap would need multi-wrap
@@ -494,18 +564,21 @@ def build_swt2d_sharded_mxu(nr, nc, flo, fhi, level, interpret, prec="highest"):
     if bands is None:
         return None
     ib, hh = bands
-    b = _pick_b(span, min(ib, nc), row_mult=2, k_mult=1)
+    te = _poly_t(level, ib, nc)
+    span = (hlen - 1) * (t // te)
+    b = _pick_b(span, min(ib, nc) // te, row_mult=2, k_mult=1)
     if b < 1:
         return None
 
-    Dm, K = swt_analysis_matrix(flo, fhi, b, level)
+    Dm, K = swt_analysis_matrix(flo, fhi, b, _mat_level(level, te))
     mats = [Dm]
     rems = []
-    for L in (ib, nc):
+    for L in (ib // te, nc // te):
         r = L - (L // b) * b
         if r:
             rems.append(len(mats))
-            mats.append(swt_analysis_matrix(flo, fhi, r, level)[0])
+            mats.append(swt_analysis_matrix(flo, fhi, r,
+                                            _mat_level(level, te))[0])
         else:
             rems.append(None)
 
@@ -528,11 +601,11 @@ def build_swt2d_sharded_mxu(nr, nc, flo, fhi, level, interpret, prec="highest"):
 
         topb, botb = pk._edge_override(top_ref, bot_ref, et_ref, eb_ref)
         rows = pk._gather_rows(topb, body_ref, botb, lp, rp)
-        lo_r, hi_r = _swt_ana_dots(rows, ms[0], Dr_row, b, K, ib)
+        lo_r, hi_r = _ana_dots_auto(rows, ms[0], Dr_row, b, K, ib, te)
 
         def cols(x):
             tp = pk._pad_lanes_T(x, lp, rp)
-            l2, h2 = _swt_ana_dots(tp, ms[0], Dr_col, b, K, nc)
+            l2, h2 = _ana_dots_auto(tp, ms[0], Dr_col, b, K, nc, te)
             return l2.T, h2.T
 
         a, v = cols(lo_r)
@@ -564,7 +637,6 @@ def build_iswt2d_sharded_mxu(nr, nc, flo, fhi, level, interpret, prec="highest")
     the MXU, or None."""
     hlen = len(flo)
     t = 1 << (level - 1)
-    span = (hlen - 1) * t
     lp, rp, _, _ = pk._swt_pads(hlen, level, inverse=True)
     if max(lp, rp) > nc:
         return None
@@ -572,18 +644,21 @@ def build_iswt2d_sharded_mxu(nr, nc, flo, fhi, level, interpret, prec="highest")
     if bands is None:
         return None
     ib, hh = bands
-    b = _pick_b(span, min(ib, nc), row_mult=1, k_mult=2)
+    te = _poly_t(level, ib, nc)
+    span = (hlen - 1) * (t // te)
+    b = _pick_b(span, min(ib, nc) // te, row_mult=1, k_mult=2)
     if b < 1:
         return None
 
-    Sm, K = swt_synthesis_matrix(flo, fhi, b, level)
+    Sm, K = swt_synthesis_matrix(flo, fhi, b, _mat_level(level, te))
     mats = [Sm]
     rems = []
-    for L in (ib, nc):
+    for L in (ib // te, nc // te):
         r = L - (L // b) * b
         if r:
             rems.append(len(mats))
-            mats.append(swt_synthesis_matrix(flo, fhi, r, level)[0])
+            mats.append(swt_synthesis_matrix(flo, fhi, r,
+                                             _mat_level(level, te))[0])
         else:
             rems.append(None)
 
@@ -612,13 +687,13 @@ def build_iswt2d_sharded_mxu(nr, nc, flo, fhi, level, interpret, prec="highest")
             planes.append(pk._gather_rows(tb, bd, bb, lp, rp))
         ar, hr, vr, dr = planes
 
-        t1 = _swt_syn_dots(ar, hr, ms[0], Sr_row, b, K, ib)
-        t2 = _swt_syn_dots(vr, dr, ms[0], Sr_row, b, K, ib)
+        t1 = _syn_dots_auto(ar, hr, ms[0], Sr_row, b, K, ib, te)
+        t2 = _syn_dots_auto(vr, dr, ms[0], Sr_row, b, K, ib, te)
 
         lop = pk._pad_lanes_T(t1, lp, rp)
         hip = pk._pad_lanes_T(t2, lp, rp)
-        out_ref[:, :] = _swt_syn_dots(lop, hip, ms[0], Sr_col, b, K,
-                                      nc).T
+        out_ref[:, :] = _syn_dots_auto(lop, hip, ms[0], Sr_col, b, K,
+                                       nc, te).T
 
     call = pl.pallas_call(
         kern, grid=(nr // ib,),
@@ -649,7 +724,6 @@ def build_iswt2d_sharded_mxu(nr, nc, flo, fhi, level, interpret, prec="highest")
 def _build_swt1d_long_mxu(nr, c, level, flo, fhi, interpret, prec="highest"):
     hlen = len(flo)
     t = 1 << (level - 1)
-    span = (hlen - 1) * t
     lp, rp, _, _ = pk._swt_pads(hlen, level, inverse=False)
     if max(lp, rp) > c:
         return None  # multi-row pads: jnp fold path
@@ -657,14 +731,18 @@ def _build_swt1d_long_mxu(nr, c, level, flo, fhi, interpret, prec="highest"):
     if bands is None:
         return None
     ib, hh = bands
-    b = _pick_b(span, c, row_mult=2, k_mult=1)
+    te = _poly_t(level, c)
+    span = (hlen - 1) * (t // te)
+    b = _pick_b(span, c // te, row_mult=2, k_mult=1)
     if b < 1:
         return None
-    Dm, K = swt_analysis_matrix(flo, fhi, b, level)
+    Dm, K = swt_analysis_matrix(flo, fhi, b, _mat_level(level, te))
     mats = [Dm]
-    r = c - (c // b) * b
+    cq = c // te
+    r = cq - (cq // b) * b
     if r:
-        mats.append(swt_analysis_matrix(flo, fhi, r, level)[0])
+        mats.append(swt_analysis_matrix(flo, fhi, r,
+                                        _mat_level(level, te))[0])
     n_mats = len(mats)
 
     top, body, bot = pk._halo_specs(ib, hh, nr, c)
@@ -679,7 +757,7 @@ def _build_swt1d_long_mxu(nr, c, level, flo, fhi, interpret, prec="highest"):
         lo_ref, hi_ref = refs[n_mats + 3:]
         Dr = ms[1] if n_mats > 1 else None
         tp = pk._fold_pad(top_ref, body_ref, bot_ref, lp, rp).T
-        lo, hi = _swt_ana_dots(tp, ms[0], Dr, b, K, c)
+        lo, hi = _ana_dots_auto(tp, ms[0], Dr, b, K, c, te)
         lo_ref[:, :] = lo.T
         hi_ref[:, :] = hi.T
 
@@ -715,7 +793,6 @@ def swt1d_long_fused_mxu(x, fb, level, rc):
 def _build_iswt1d_long_mxu(nr, c, level, flo, fhi, interpret, prec="highest"):
     hlen = len(flo)
     t = 1 << (level - 1)
-    span = (hlen - 1) * t
     lp, rp, _, _ = pk._swt_pads(hlen, level, inverse=True)
     if max(lp, rp) > c:
         return None
@@ -723,14 +800,18 @@ def _build_iswt1d_long_mxu(nr, c, level, flo, fhi, interpret, prec="highest"):
     if bands is None:
         return None
     ib, hh = bands
-    b = _pick_b(span, c, row_mult=1, k_mult=2)
+    te = _poly_t(level, c)
+    span = (hlen - 1) * (t // te)
+    b = _pick_b(span, c // te, row_mult=1, k_mult=2)
     if b < 1:
         return None
-    Sm, K = swt_synthesis_matrix(flo, fhi, b, level)
+    Sm, K = swt_synthesis_matrix(flo, fhi, b, _mat_level(level, te))
     mats = [Sm]
-    r = c - (c // b) * b
+    cq = c // te
+    r = cq - (cq // b) * b
     if r:
-        mats.append(swt_synthesis_matrix(flo, fhi, r, level)[0])
+        mats.append(swt_synthesis_matrix(flo, fhi, r,
+                                         _mat_level(level, te))[0])
     n_mats = len(mats)
 
     top, body, bot = pk._halo_specs(ib, hh, nr, c)
@@ -747,7 +828,7 @@ def _build_iswt1d_long_mxu(nr, c, level, flo, fhi, interpret, prec="highest"):
         Sr = ms[1] if n_mats > 1 else None
         ap = pk._fold_pad(a_top, a_body, a_bot, lp, rp).T
         dp = pk._fold_pad(d_top, d_body, d_bot, lp, rp).T
-        out_ref[:, :] = _swt_syn_dots(ap, dp, ms[0], Sr, b, K, c).T
+        out_ref[:, :] = _syn_dots_auto(ap, dp, ms[0], Sr, b, K, c, te).T
 
     call = pl.pallas_call(
         kern, grid=(nr // ib,),

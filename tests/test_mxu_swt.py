@@ -170,6 +170,79 @@ def test_mxu_swt1d_matches_jnp(wname, level):
     assert float(jnp.abs(y - yref.astype(jnp.float32)).max()) < 2e-5
 
 
+@pytest.mark.parametrize("wname", ["sym8", "db10"])
+@pytest.mark.parametrize("level", [4, 5])
+def test_mxu_swt2d_polyphase_deep_levels(wname, level):
+    """Deep dilations run the polyphase (compact, K = b + hlen - 1)
+    formulation — the reshape trick must reproduce the dilated oracle
+    exactly where the old banded form had its K-cliff."""
+    fb = get_filter_bank(wname)
+    shape = (256, 512)
+    lp, rp, _, _ = __import__(
+        "pypwt_tpu.ops.pallas_dwt", fromlist=["x"])._swt_pads(
+            fb.hlen, level, inverse=False)
+    x = _rand(shape)
+    if max(lp, rp) > min(shape):
+        pytest.skip("support exceeds image")
+    got = mxs.swt2d_level_fused_mxu(x, fb, level)
+    assert got is not None
+    lo_r, hi_r = conv.swt_analysis_last(x, fb.dec_lo, fb.dec_hi, level)
+    ref = []
+    for src in (lo_r, hi_r):
+        st = jnp.swapaxes(src, -1, -2)
+        a_, b_ = conv.swt_analysis_last(st, fb.dec_lo, fb.dec_hi, level)
+        ref.append(jnp.swapaxes(a_, -1, -2))
+        ref.append(jnp.swapaxes(b_, -1, -2))
+    for g, r in zip(got, ref):
+        assert float(jnp.abs(g - r.astype(jnp.float32)).max()) < 2e-5
+    y = mxs.iswt2d_level_fused_mxu(*got, fb, level)
+    if y is None:  # synthesis band geometry may decline (VMEM budget)
+        pytest.skip("synthesis geometry declined")
+    assert float(jnp.abs(y - x).max()) < 2e-5
+
+
+def test_mxu_swt2d_polyphase_falls_back_banded():
+    """A transform length not divisible by the dilation declines the
+    polyphase reshape and still matches the oracle via the banded form."""
+    from pypwt_tpu.ops import mxu_swt as m
+    assert m._poly_t(3, 64, 102) == 1      # 102 % 4 != 0 -> banded
+    assert m._poly_t(3, 64, 128) == 4
+    assert m._poly_t(1, 64, 128) == 1      # level 1 is already compact
+    fb = get_filter_bank("sym8")
+    x = _rand((64, 102))
+    got = mxs.swt2d_level_fused_mxu(x, fb, 3)
+    if got is None:
+        pytest.skip("geometry not covered")
+    lo_r, hi_r = conv.swt_analysis_last(x, fb.dec_lo, fb.dec_hi, 3)
+    st = jnp.swapaxes(lo_r, -1, -2)
+    a_, _b = conv.swt_analysis_last(st, fb.dec_lo, fb.dec_hi, 3)
+    want_a = jnp.swapaxes(a_, -1, -2)
+    assert float(jnp.abs(got[0] - want_a.astype(jnp.float32)).max()) < 2e-5
+
+
+@pytest.mark.parametrize("level", [4, 5])
+def test_mxu_swt_long1d_polyphase_deep(level):
+    """Deep-dilation folded long-1D a-trous through the polyphase MXU
+    kernels vs the jnp fold."""
+    fb = get_filter_bank("sym8")
+    n = 1 << 18
+    x = _rand(n)
+    rc = conv.long1d_shape(n)
+    if (1 << (level - 1)) % rc[1] == 0:
+        pytest.skip("row-roll path")
+    got = mxs.swt1d_long_fused_mxu(x, fb, level, rc)
+    if got is None:
+        pytest.skip("geometry declined")
+    want = conv.swt_analysis_long1d(x, fb.dec_lo, fb.dec_hi, level, rc)
+    for g, w in zip(got, want):
+        assert float(jnp.abs(g - w).max()) < 2e-5
+    bg = mxs.iswt1d_long_fused_mxu(got[0], got[1], fb, level, rc)
+    bw = conv.swt_synthesis_long1d(want[0], want[1], fb.rec_lo,
+                                   fb.rec_hi, level, rc)
+    assert bg is not None
+    assert float(jnp.abs(bg - bw).max()) < 2e-5
+
+
 def test_mxu_swt_support_guard():
     """Deep dilation exceeding the image declines (jnp path wraps)."""
     fb = get_filter_bank("db10")
