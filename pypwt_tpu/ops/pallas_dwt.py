@@ -31,6 +31,7 @@ handled; everything else falls back to the jnp path (core/dwt.py dispatch).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -389,6 +390,12 @@ def _build_dwt2d_colsplit(nr, nc, flo, fhi, ib, cb, interpret):
     if (hh is None or nr % ib or nc % cb or cb % _COL_HALO
             or cb >= nc or cb % 2):
         return None
+    # working-set budget (same shape of estimate as _pick_bands; the
+    # band is (rows + halos) x (cols + two 128-lane halo tiles)): an
+    # oversized geometry must decline here, not at Mosaic compile time
+    ws = (lp + ib + rp + 2 * hh) * (cb + 2 * _COL_HALO) * 4 * 5
+    if ws > 52 * 1024 * 1024:
+        return None
     in_specs = _specs_grid2d(ib, hh, nr, cb, nc)
     out_spec = pl.BlockSpec((ib // 2, cb // 2), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
@@ -733,6 +740,243 @@ def idwt2d_fused_unshift(a, h, v, d, fb, out_shape, sr, sc, acc=None,
     if acc is None:
         return f(a, h, v, d)
     return f(a, h, v, d, acc)
+
+
+# ---------------------------------------------------------------------------
+# Dynamically-shifted fused levels: RANDOM-mode cycle spinning at the
+# static-mode price (VERDICT r4 next #5).  The reference's default
+# cycle-spinning mode draws shifts at runtime (wt.cu:242-246), which the
+# pipeline previously served with materialized jnp.roll round trips
+# (~1.8x the static mode).  Here the shift is a TRACED value, reduced
+# mod 2^levels by the caller (the periodized pyramid commutes with 2^L
+# translations, and thresholding is pointwise, so the reduction is
+# exact): the row window becomes a dynamic-start slice of the same
+# top|body|bot halo block the static kernel reads, and the column
+# roll+pad becomes a dynamic-start window of a statically over-wrapped
+# transposed plane — both sublane-axis dynamic slices, which Mosaic
+# lowers natively.  smax = 2^levels - 1 bounds the traced shift and
+# sizes the static over-wrap; same HBM traffic as the unshifted kernel.
+# ---------------------------------------------------------------------------
+
+
+def _analysis_cols_dynshift(t, flo, fhi, lpad, rpad, sc, smax):
+    """Column analysis of the column-rolled plane (traced roll +sc,
+    0 <= sc <= smax): the rolled, periodically padded plane is the
+    dynamic window starting at (smax - sc) of the transposed plane
+    over-wrapped by (lpad + smax) top rows."""
+    tt = t.T
+    n = tt.shape[0]
+    parts = [tt[n - (lpad + smax):, :], tt]
+    if rpad:
+        parts.append(tt[:rpad, :])
+    q = jnp.concatenate(parts, axis=0)
+    tp = jax.lax.dynamic_slice_in_dim(q, smax - sc, lpad + n + rpad, 0)
+    lo, hi = _analysis_sub(tp, flo, fhi, n // 2)
+    return lo.T, hi.T
+
+
+def _dwt2d_dynshift_kernel(flo, fhi, lpr, rpr, lpc, rpc, ib, hh, smax,
+                           mode, refs):
+    if mode is None:
+        (top_ref, body_ref, bot_ref, s_ref,
+         a_ref, h_ref, v_ref, d_ref) = refs
+        beta = None
+    else:
+        (top_ref, body_ref, bot_ref, s_ref, beta_ref,
+         a_ref, h_ref, v_ref, d_ref) = refs
+        beta = beta_ref[0, 0]
+    sr = s_ref[0]
+    sc = s_ref[1]
+    full = jnp.concatenate([top_ref[:, :], body_ref[:, :],
+                            bot_ref[:, :]], axis=0)
+    rows = jax.lax.dynamic_slice_in_dim(
+        full, hh - lpr - sr, lpr + ib + rpr, 0)
+    lo_r, hi_r = _analysis_sub(rows, flo, fhi, ib // 2)
+    a, v = _analysis_cols_dynshift(lo_r, flo, fhi, lpc, rpc, sc, smax)
+    h, d = _analysis_cols_dynshift(hi_r, flo, fhi, lpc, rpc, sc, smax)
+    a_ref[:, :] = a
+    h_ref[:, :] = _apply_thresh(h, beta, mode)
+    v_ref[:, :] = _apply_thresh(v, beta, mode)
+    d_ref[:, :] = _apply_thresh(d, beta, mode)
+
+
+@functools.lru_cache(maxsize=512)
+def _build_dwt2d_dynshift(nr, nc, flo, fhi, smax, mode, interpret):
+    hlen = len(flo)
+    if hlen % 2 or nr % 2 or nc % 2:
+        return None
+    lp, rp = conv.analysis_pads(hlen)
+    # halo must cover the pads PLUS any shift up to smax
+    bands = _pick_bands(nr, nc, lp + smax, rp, n_bufs=5, max_body=1024,
+                        budget=52 * 1024 * 1024)
+    if bands is None:
+        return None
+    ib, hh = bands
+    if smax > hh - lp or lp + smax > nc:
+        return None
+    top, body, bot = _halo_specs(ib, hh, nr, nc)
+    in_specs = [top, body, bot,
+                pl.BlockSpec((2,), lambda i: (0,),
+                             memory_space=pltpu.SMEM)]
+    if mode is not None:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.SMEM))
+    out_spec = pl.BlockSpec((ib // 2, nc // 2), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr // 2, nc // 2), jnp.float32)
+    kern = functools.partial(_dwt2d_dynshift_kernel, flo, fhi, lp, rp,
+                             lp, rp, ib, hh, smax, mode)
+    call = pl.pallas_call(
+        lambda *refs: kern(refs), grid=(nr // ib,), in_specs=in_specs,
+        out_specs=[out_spec] * 4, out_shape=[out_sds] * 4,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+    def wrap(x, sr, sc, beta=None):
+        s = jnp.stack([jnp.asarray(sr, jnp.int32),
+                       jnp.asarray(sc, jnp.int32)])
+        if mode is None:
+            return call(x, x, x, s)
+        return call(x, x, x, s,
+                    jnp.reshape(jnp.asarray(beta, jnp.float32), (1, 1)))
+
+    return wrap
+
+
+def dwt2d_fused_dynshift(x, fb, sr, sc, smax, thresh_mode=None,
+                         beta=None):
+    """One fused analysis level of roll(x, (sr, sc), (-2, -1)) for
+    TRACED shifts sr, sc in [0, smax] (callers reduce mod 2^levels
+    first), without materializing the roll; with ``thresh_mode`` the
+    detail subbands are thresholded in-kernel.  None if uncovered."""
+    if x.ndim != 2 or x.dtype != jnp.float32:
+        return None
+    f = _build_dwt2d_dynshift(x.shape[0], x.shape[1], _taps(fb.dec_lo),
+                              _taps(fb.dec_hi), int(smax), thresh_mode,
+                              _interpret())
+    if f is None:
+        return None
+    return tuple(f(x, sr, sc, beta))
+
+
+def _synthesis_cols_dynunshift(lo, hi, flo, fhi, lpad, rpad, n_out, sc,
+                               smax):
+    """Column synthesis followed by a traced lane un-roll (out col c
+    reads synthesized col (c + sc) mod n_out): the un-rolled plane is
+    the dynamic window starting at sc of the synthesized transposed
+    plane over-wrapped by smax bottom rows."""
+    lop = _pad_lanes_T(lo, lpad, rpad)
+    hip = _pad_lanes_T(hi, lpad, rpad)
+    syn_t = _synthesis_sub(lop, hip, flo, fhi, n_out // 2, lpad)
+    q = jnp.concatenate([syn_t, syn_t[:smax, :]], axis=0)
+    return jax.lax.dynamic_slice_in_dim(q, sc, n_out, 0).T
+
+
+def _idwt2d_dynshift_kernel(flo, fhi, lpr, rpr, lpc, rpc, tcb, hh,
+                            nc_out, smax, accumulate, scale, refs):
+    if accumulate:
+        (a_top, a_body, a_bot, h_top, h_body, h_bot,
+         v_top, v_body, v_bot, d_top, d_body, d_bot, s_ref, acc_ref,
+         out_ref) = refs
+    else:
+        (a_top, a_body, a_bot, h_top, h_body, h_bot,
+         v_top, v_body, v_bot, d_top, d_body, d_bot, s_ref,
+         out_ref) = refs
+        acc_ref = None
+    sr = s_ref[0]
+    sc = s_ref[1]
+    par = sr % 2
+    off = hh + sr // 2 - lpr
+    # always compute the odd-parity window length (one extra merged row
+    # pair); the parity then selects the aligned 2*tcb-row window
+    lout = tcb + 1
+
+    def window(t, b, bo):
+        full = jnp.concatenate([t[:, :], b[:, :], bo[:, :]], axis=0)
+        return jax.lax.dynamic_slice_in_dim(full, off,
+                                            lpr + lout + rpr, 0)
+
+    ar = window(a_top, a_body, a_bot)
+    hr = window(h_top, h_body, h_bot)
+    vr = window(v_top, v_body, v_bot)
+    dr = window(d_top, d_body, d_bot)
+    t1 = _synthesis_sub(ar, hr, flo, fhi, lout, lpr)
+    t2 = _synthesis_sub(vr, dr, flo, fhi, lout, lpr)
+    t1 = jax.lax.dynamic_slice_in_dim(t1, par, 2 * tcb, 0)
+    t2 = jax.lax.dynamic_slice_in_dim(t2, par, 2 * tcb, 0)
+    rec = _synthesis_cols_dynunshift(t1, t2, flo, fhi, lpc, rpc, nc_out,
+                                     sc, smax)
+    out = rec if acc_ref is None else acc_ref[:, :] + rec
+    out_ref[:, :] = out if scale == 1.0 else out * scale
+
+
+@functools.lru_cache(maxsize=512)
+def _build_idwt2d_dynshift(nr_out, nc_out, flo, fhi, smax, accumulate,
+                           scale, interpret):
+    hlen = len(flo)
+    if hlen % 2 or nr_out % 2 or nc_out % 2:
+        return None
+    lrows = nr_out // 2
+    w = nc_out // 2
+    lp, rp = conv.synthesis_pads(hlen, lrows, nr_out)
+    lpc, rpc = conv.synthesis_pads(hlen, w, nc_out)
+    bands = _pick_bands(lrows, w, lp, rp + smax // 2 + 1, n_bufs=14,
+                        max_body=128)
+    if bands is None:
+        return None
+    tcb, hh = bands
+    if smax // 2 + 1 + rp > hh or lp > hh or smax > nc_out:
+        return None
+    top, body, bot = _halo_specs(tcb, hh, lrows, w)
+    out_spec = pl.BlockSpec((2 * tcb, nc_out), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr_out, nc_out), jnp.float32)
+    in_specs = [top, body, bot] * 4
+    in_specs.append(pl.BlockSpec((2,), lambda i: (0,),
+                                 memory_space=pltpu.SMEM))
+    if accumulate:
+        in_specs.append(out_spec)
+    kern = functools.partial(_idwt2d_dynshift_kernel, flo, fhi, lp, rp,
+                             lpc, rpc, tcb, hh, nc_out, smax,
+                             accumulate, scale)
+    call = pl.pallas_call(
+        lambda *refs: kern(refs), grid=(lrows // tcb,),
+        in_specs=in_specs,
+        out_specs=out_spec, out_shape=out_sds,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+    def wrap(a, h, v, d, sr, sc, acc=None):
+        s = jnp.stack([jnp.asarray(sr, jnp.int32),
+                       jnp.asarray(sc, jnp.int32)])
+        if accumulate:
+            return call(a, a, a, h, h, h, v, v, v, d, d, d, s, acc)
+        return call(a, a, a, h, h, h, v, v, v, d, d, d, s)
+
+    return wrap
+
+
+def idwt2d_fused_dynunshift(a, h, v, d, fb, out_shape, sr, sc, smax,
+                            acc=None, scale=1.0):
+    """One fused synthesis level producing
+    scale * (roll(idwt2d(a, h, v, d), (-sr, -sc), (-2, -1)) [+ acc])
+    for TRACED shifts sr, sc in [0, smax]; None if uncovered."""
+    nr, nc = out_shape[-2], out_shape[-1]
+    if a.ndim != 2 or a.dtype != jnp.float32:
+        return None
+    if (nr, nc) != (2 * a.shape[-2], 2 * a.shape[-1]):
+        return None
+    if not (a.shape == h.shape == v.shape == d.shape):
+        return None
+    f = _build_idwt2d_dynshift(nr, nc, _taps(fb.rec_lo),
+                               _taps(fb.rec_hi), int(smax),
+                               acc is not None, float(scale),
+                               _interpret())
+    if f is None:
+        return None
+    return f(a, h, v, d, sr, sc, acc)
 
 
 # ---------------------------------------------------------------------------
@@ -1739,7 +1983,91 @@ def iswt1d_level_fused(a, d, fb, level):
 # extra HBM round trip per level: 121 vs 109 us for a 4Mi analysis).
 # Pads wider than one row (deep SWT dilations) fall back to the jnp
 # multi-row fold (conv.fold_rows_analysis).
+#
+# Wide-filter VMEM cliff (round-4 measured: hlen >= 12 degrades ~8x at
+# ib=512): every tap slice of the TRANSPOSED fold is an unaligned
+# sublane relayout of the whole (c + pads, ib) plane, and Mosaic keeps
+# ~hlen of them live.  The "scratch" variants materialize the
+# transposed (and parity-split) plane into explicit VMEM scratch refs
+# ONCE; the tap loop then reads small ref slices, so live temporaries no
+# longer scale with hlen.  Variant + band cap are probe knobs
+# (PYPWT_LONGFOLD / PYPWT_LONG_MAXBODY) resolved to chip-measured
+# defaults in _long_variant/_long_max_body.
 # ---------------------------------------------------------------------------
+
+
+def _long_variant():
+    return os.environ.get("PYPWT_LONGFOLD", "scratch")
+
+
+def _long_max_body(hlen):
+    v = os.environ.get("PYPWT_LONG_MAXBODY", "")
+    return int(v) if v else 512
+
+
+def _analysis_sub_ref(even_ref, odd_ref, flo, fhi, L):
+    """_analysis_sub over parity planes pre-materialized in VMEM scratch
+    refs (each tap reads a small ref slice instead of re-deriving a
+    relayout of the whole transposed plane)."""
+    hlen = len(flo)
+    lo = None
+    hi = None
+    for j in range(hlen):
+        src = even_ref if j % 2 == 0 else odd_ref
+        seg = src[j // 2: j // 2 + L, :]
+        gl, gh = flo[hlen - 1 - j], fhi[hlen - 1 - j]
+        lo = seg * gl if lo is None else lo + seg * gl
+        hi = seg * gh if hi is None else hi + seg * gh
+    return lo, hi
+
+
+def _synthesis_sub_ref(lop_ref, hip_ref, flo, fhi, Lout, lpad):
+    """_synthesis_sub reading from pre-materialized scratch refs."""
+    hlen = len(flo)
+    hlen2 = hlen // 2
+    sigma = 1 if hlen2 % 2 == 0 else 0
+    c = hlen2 // 2
+    phases = []
+    for p in (0, 1):
+        pp = (p + sigma) & 1
+        delta = (p + sigma) >> 1
+        off = 1 - pp
+        base = lpad + delta - c
+        acc = None
+        for j in range(hlen2):
+            tap = hlen - 1 - 2 * j - off
+            gl, gh = flo[tap], fhi[tap]
+            seg = (lop_ref[base + j: base + j + Lout, :] * gl
+                   + hip_ref[base + j: base + j + Lout, :] * gh)
+            acc = seg if acc is None else acc + seg
+        phases.append(acc)
+    return _merge_parity(phases[0], phases[1])
+
+
+def _swt_sub_ref(tp_ref, flo, fhi, s, factor, lpad, L, scale=1.0):
+    """_swt_sub reading from a pre-materialized scratch ref."""
+    hlen = len(flo)
+    lo = None
+    hi = None
+    for k in range(hlen):
+        ofs = lpad + (s - k) * factor
+        seg = tp_ref[ofs: ofs + L, :]
+        gl, gh = flo[k] * scale, fhi[k] * scale
+        lo = seg * gl if lo is None else lo + seg * gl
+        hi = seg * gh if hi is None else hi + seg * gh
+    return lo, hi
+
+
+def _swt_combine_sub_ref(lop_ref, hip_ref, flo, fhi, s, factor, lpad, L):
+    """_swt_combine_sub reading from pre-materialized scratch refs."""
+    hlen = len(flo)
+    out = None
+    for k in range(hlen):
+        ofs = lpad + (s - k) * factor
+        seg = (lop_ref[ofs: ofs + L, :] * (flo[k] * 0.5)
+               + hip_ref[ofs: ofs + L, :] * (fhi[k] * 0.5))
+        out = seg if out is None else out + seg
+    return out
 
 def _fold_pad(top_ref, body_ref, bot_ref, lp, rp):
     """In-VMEM lane pads of a folded long-1D plane: row i's left pad is
@@ -1760,14 +2088,14 @@ def _fold_pad(top_ref, body_ref, bot_ref, lp, rp):
     return jnp.concatenate(parts, axis=1) if len(parts) > 1 else body
 
 
-def _long1d_bands(nr, c, lp, rp, hlen, n_bufs):
+def _long1d_bands(nr, c, lp, rp, hlen, n_bufs, max_body=512):
     """(ib, hh) for a folded plane, or None.  Declines multi-row pads
     and the wide-filter x narrow-fold VMEM blowup (transposed planes
     have ib lanes; below 128 Mosaic pads per-tap temporaries to full
     128-lane tiles — a db8 at 32 folded rows measured 142 MB VMEM)."""
     if max(lp, rp) > c:
         return None
-    bands = _pick_bands(nr, c, 1, 1, n_bufs=n_bufs)
+    bands = _pick_bands(nr, c, 1, 1, n_bufs=n_bufs, max_body=max_body)
     if bands is None:
         return None
     ib, hh = bands
@@ -1784,12 +2112,26 @@ def _dwt1d_long_kernel(flo, fhi, lp, rp, L,
     hi_ref[:, :] = hi.T
 
 
+def _dwt1d_long_kernel_s(flo, fhi, lp, rp, L,
+                         top_ref, body_ref, bot_ref, lo_ref, hi_ref,
+                         ev_ref, od_ref):
+    tp = _fold_pad(top_ref, body_ref, bot_ref, lp, rp).T
+    pairs = tp.reshape(tp.shape[0] // 2, 2, tp.shape[1])
+    ev_ref[:, :] = pairs[:, 0, :]
+    od_ref[:, :] = pairs[:, 1, :]
+    lo, hi = _analysis_sub_ref(ev_ref, od_ref, flo, fhi, L)
+    lo_ref[:, :] = lo.T
+    hi_ref[:, :] = hi.T
+
+
 @functools.lru_cache(maxsize=512)
-def _build_dwt1d_long(nr, c, lp, rp, flo, fhi, interpret):
+def _build_dwt1d_long(nr, c, lp, rp, flo, fhi, interpret,
+                      variant="plain", max_body=512):
     hlen = len(flo)
     if hlen % 2 or c % 2 or (c + lp + rp) % 2:
         return None
-    bands = _long1d_bands(nr, c, lp, rp, hlen, n_bufs=6)
+    bands = _long1d_bands(nr, c, lp, rp, hlen, n_bufs=6,
+                          max_body=max_body)
     if bands is None:
         return None
     ib, hh = bands
@@ -1797,11 +2139,18 @@ def _build_dwt1d_long(nr, c, lp, rp, flo, fhi, interpret):
     out_spec = pl.BlockSpec((ib, c // 2), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_sds = jax.ShapeDtypeStruct((nr, c // 2), jnp.float32)
-    kern = functools.partial(_dwt1d_long_kernel, flo, fhi, lp, rp,
-                             c // 2)
+    if variant == "scratch":
+        kern = functools.partial(_dwt1d_long_kernel_s, flo, fhi, lp, rp,
+                                 c // 2)
+        scratch = [pltpu.VMEM(((c + lp + rp) // 2, ib), jnp.float32)] * 2
+    else:
+        kern = functools.partial(_dwt1d_long_kernel, flo, fhi, lp, rp,
+                                 c // 2)
+        scratch = []
     call = pl.pallas_call(
         kern, grid=(nr // ib,), in_specs=[top, body, bot],
         out_specs=[out_spec] * 2, out_shape=[out_sds] * 2,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret)
@@ -1816,7 +2165,8 @@ def dwt1d_long_fused(x, fb, rc):
     r, c = rc
     lp, rp = conv.analysis_pads(fb.hlen)
     f = _build_dwt1d_long(r, c, lp, rp, _taps(fb.dec_lo),
-                          _taps(fb.dec_hi), _interpret())
+                          _taps(fb.dec_hi), _interpret(),
+                          _long_variant(), _long_max_body(fb.hlen))
     if f is None:
         return None
     lo, hi = f(x.reshape(r, c))
@@ -1830,12 +2180,23 @@ def _idwt1d_long_kernel(flo, fhi, lp, rp, c, refs):
     out_ref[:, :] = _synthesis_sub(ap.T, dp.T, flo, fhi, c, lp).T
 
 
+def _idwt1d_long_kernel_s(flo, fhi, lp, rp, c, refs):
+    (a_top, a_body, a_bot, d_top, d_body, d_bot, out_ref,
+     ap_ref, dp_ref) = refs
+    ap_ref[:, :] = _fold_pad(a_top, a_body, a_bot, lp, rp).T
+    dp_ref[:, :] = _fold_pad(d_top, d_body, d_bot, lp, rp).T
+    out_ref[:, :] = _synthesis_sub_ref(ap_ref, dp_ref, flo, fhi, c,
+                                       lp).T
+
+
 @functools.lru_cache(maxsize=512)
-def _build_idwt1d_long(nr, c, lp, rp, flo, fhi, interpret):
+def _build_idwt1d_long(nr, c, lp, rp, flo, fhi, interpret,
+                       variant="plain", max_body=512):
     hlen = len(flo)
     if hlen % 2:
         return None
-    bands = _long1d_bands(nr, c, lp, rp, hlen, n_bufs=8)
+    bands = _long1d_bands(nr, c, lp, rp, hlen, n_bufs=8,
+                          max_body=max_body)
     if bands is None:
         return None
     ib, hh = bands
@@ -1843,11 +2204,19 @@ def _build_idwt1d_long(nr, c, lp, rp, flo, fhi, interpret):
     out_spec = pl.BlockSpec((ib, 2 * c), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_sds = jax.ShapeDtypeStruct((nr, 2 * c), jnp.float32)
-    kern = functools.partial(_idwt1d_long_kernel, flo, fhi, lp, rp, c)
+    if variant == "scratch":
+        kern = functools.partial(_idwt1d_long_kernel_s, flo, fhi, lp,
+                                 rp, c)
+        scratch = [pltpu.VMEM((c + lp + rp, ib), jnp.float32)] * 2
+    else:
+        kern = functools.partial(_idwt1d_long_kernel, flo, fhi, lp, rp,
+                                 c)
+        scratch = []
     call = pl.pallas_call(
         lambda *refs: kern(refs), grid=(nr // ib,),
         in_specs=[top, body, bot] * 2,
         out_specs=out_spec, out_shape=out_sds,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret)
@@ -1864,7 +2233,8 @@ def idwt1d_long_fused(a, d, fb, n_out, rc):
         return None
     lp, rp = conv.synthesis_pads(fb.hlen, c, 2 * c)
     f = _build_idwt1d_long(r, c, lp, rp, _taps(fb.rec_lo),
-                           _taps(fb.rec_hi), _interpret())
+                           _taps(fb.rec_hi), _interpret(),
+                           _long_variant(), _long_max_body(fb.hlen))
     if f is None:
         return None
     return f(a.reshape(r, c), d.reshape(r, c)).reshape(-1)
@@ -1878,11 +2248,22 @@ def _swt1d_long_kernel(flo, fhi, lp, rp, s, factor, c,
     hi_ref[:, :] = hi.T
 
 
+def _swt1d_long_kernel_s(flo, fhi, lp, rp, s, factor, c,
+                         top_ref, body_ref, bot_ref, lo_ref, hi_ref,
+                         tp_ref):
+    tp_ref[:, :] = _fold_pad(top_ref, body_ref, bot_ref, lp, rp).T
+    lo, hi = _swt_sub_ref(tp_ref, flo, fhi, s, factor, lp, c)
+    lo_ref[:, :] = lo.T
+    hi_ref[:, :] = hi.T
+
+
 @functools.lru_cache(maxsize=512)
-def _build_swt1d_long(nr, c, level, flo, fhi, interpret):
+def _build_swt1d_long(nr, c, level, flo, fhi, interpret,
+                      variant="plain", max_body=512):
     hlen = len(flo)
     lp, rp, s, factor = _swt_pads(hlen, level, inverse=False)
-    bands = _long1d_bands(nr, c, lp, rp, hlen, n_bufs=6)
+    bands = _long1d_bands(nr, c, lp, rp, hlen, n_bufs=6,
+                          max_body=max_body)
     if bands is None:
         return None
     ib, hh = bands
@@ -1890,11 +2271,18 @@ def _build_swt1d_long(nr, c, level, flo, fhi, interpret):
     out_spec = pl.BlockSpec((ib, c), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_sds = jax.ShapeDtypeStruct((nr, c), jnp.float32)
-    kern = functools.partial(_swt1d_long_kernel, flo, fhi, lp, rp, s,
-                             factor, c)
+    if variant == "scratch":
+        kern = functools.partial(_swt1d_long_kernel_s, flo, fhi, lp, rp,
+                                 s, factor, c)
+        scratch = [pltpu.VMEM((c + lp + rp, ib), jnp.float32)]
+    else:
+        kern = functools.partial(_swt1d_long_kernel, flo, fhi, lp, rp,
+                                 s, factor, c)
+        scratch = []
     call = pl.pallas_call(
         kern, grid=(nr // ib,), in_specs=[top, body, bot],
         out_specs=[out_spec] * 2, out_shape=[out_sds] * 2,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret)
@@ -1911,7 +2299,8 @@ def swt1d_long_fused(x, fb, level, rc):
     if (1 << (level - 1)) % c == 0:
         return None  # row-roll fast path handles this better
     built = _build_swt1d_long(r, c, level, _taps(fb.dec_lo),
-                              _taps(fb.dec_hi), _interpret())
+                              _taps(fb.dec_hi), _interpret(),
+                              _long_variant(), _long_max_body(fb.hlen))
     if built is None:
         return None
     f, _ = built
@@ -1927,11 +2316,22 @@ def _iswt1d_long_kernel(flo, fhi, lp, rp, s, factor, c, refs):
                                      lp, c).T
 
 
+def _iswt1d_long_kernel_s(flo, fhi, lp, rp, s, factor, c, refs):
+    (a_top, a_body, a_bot, d_top, d_body, d_bot, out_ref,
+     ap_ref, dp_ref) = refs
+    ap_ref[:, :] = _fold_pad(a_top, a_body, a_bot, lp, rp).T
+    dp_ref[:, :] = _fold_pad(d_top, d_body, d_bot, lp, rp).T
+    out_ref[:, :] = _swt_combine_sub_ref(ap_ref, dp_ref, flo, fhi, s,
+                                         factor, lp, c).T
+
+
 @functools.lru_cache(maxsize=512)
-def _build_iswt1d_long(nr, c, level, flo, fhi, interpret):
+def _build_iswt1d_long(nr, c, level, flo, fhi, interpret,
+                       variant="plain", max_body=512):
     hlen = len(flo)
     lp, rp, s, factor = _swt_pads(hlen, level, inverse=True)
-    bands = _long1d_bands(nr, c, lp, rp, hlen, n_bufs=8)
+    bands = _long1d_bands(nr, c, lp, rp, hlen, n_bufs=8,
+                          max_body=max_body)
     if bands is None:
         return None
     ib, hh = bands
@@ -1939,12 +2339,19 @@ def _build_iswt1d_long(nr, c, level, flo, fhi, interpret):
     out_spec = pl.BlockSpec((ib, c), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_sds = jax.ShapeDtypeStruct((nr, c), jnp.float32)
-    kern = functools.partial(_iswt1d_long_kernel, flo, fhi, lp, rp, s,
-                             factor, c)
+    if variant == "scratch":
+        kern = functools.partial(_iswt1d_long_kernel_s, flo, fhi, lp,
+                                 rp, s, factor, c)
+        scratch = [pltpu.VMEM((c + lp + rp, ib), jnp.float32)] * 2
+    else:
+        kern = functools.partial(_iswt1d_long_kernel, flo, fhi, lp, rp,
+                                 s, factor, c)
+        scratch = []
     call = pl.pallas_call(
         lambda *refs: kern(refs), grid=(nr // ib,),
         in_specs=[top, body, bot] * 2,
         out_specs=out_spec, out_shape=out_sds,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret)
@@ -1960,7 +2367,8 @@ def iswt1d_long_fused(a, d, fb, level, rc):
     if (1 << (level - 1)) % c == 0:
         return None  # row-roll fast path handles this better
     built = _build_iswt1d_long(r, c, level, _taps(fb.rec_lo),
-                               _taps(fb.rec_hi), _interpret())
+                               _taps(fb.rec_hi), _interpret(),
+                               _long_variant(), _long_max_body(fb.hlen))
     if built is None:
         return None
     f, _ = built

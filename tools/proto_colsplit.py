@@ -46,7 +46,8 @@ def main():
         return step
 
     def pair_cs(n, ib, cb):
-        f = pk._build_dwt2d_colsplit(n, n, tlo, thi, ib, cb, False)
+        f = pk._build_dwt2d_colsplit(n, n, tlo, thi, ib, cb,
+                                     pk._interpret())
         if f is None:
             return None
         def step(x):
