@@ -197,6 +197,71 @@ def denoise2d_cycle_spinning(img, wname, levels, beta, key=None,
     if key is None:
         raise ValueError("pass either a random key or static shifts")
 
+    def spin_dynamic(sr, sc, acc, scale=1.0):
+        """One spin with a TRACED shift folded into the level-0 kernels
+        (the random-mode analog of spin_static): shifts are already
+        reduced mod 2^levels — exact, because the periodized pyramid
+        commutes with 2^L translations and thresholding is pointwise —
+        and ride the halo blocks as SMEM-fed dynamic slices at zero
+        extra HBM traffic.  None if the kernels decline."""
+        if (not dwt._pallas_enabled() or img.ndim != 2
+                or img.dtype != jnp.float32 or fb.hlen == 2):
+            return None
+        from .ops import pallas_dwt as pk
+        smax = (1 << levels) - 1
+        mode = "hard" if hard else "soft"
+        sqrt2 = 2.0 ** 0.5
+        b1 = beta / sqrt2 if normalize else beta
+        c0 = pk.dwt2d_fused_dynshift(img, fb, sr, sc, smax,
+                                     thresh_mode=mode, beta=b1)
+        if c0 is None:
+            return None
+        a, h0, v0, d0 = c0
+        details = []
+        for _ in range(levels - 1):
+            a, h, v, d = dwt.dwt2d(a, fb)
+            details.append((h, v, d))
+        sub = th([a] + details,
+                 beta / sqrt2 if normalize else beta,
+                 bool(threshold_appcoeffs), bool(normalize))
+        sizes = [img.shape[-2:]]
+        for _ in range(levels):
+            sizes.append((div2(sizes[-1][0]), div2(sizes[-1][1])))
+        a = sub[0]
+        for lev in range(levels - 1, 0, -1):
+            hh, vv, dd = sub[lev]
+            a = dwt.idwt2d(a, hh, vv, dd, fb, sizes[lev])
+        return pk.idwt2d_fused_dynunshift(a, h0, v0, d0, fb, img.shape,
+                                          sr, sc, (1 << levels) - 1,
+                                          acc=acc, scale=scale)
+
+    keys = jax.random.split(key, n_spins)
+
+    # fused path: spins unroll at trace time (n_spins is static) with
+    # the traced shifts reduced mod 2^levels; matches the reference's
+    # rand()-mode semantics bit-for-bit in distribution AND per key
+    # (the reduction is exact, see spin_dynamic)
+    def draw(k):
+        sr = jax.random.randint(k, (), 0, nr) % (1 << levels)
+        sc = jax.random.randint(jax.random.fold_in(k, 1), (),
+                                0, nc) % (1 << levels)
+        return sr, sc
+
+    acc = None
+    fused_ok = True
+    for i in range(n_spins):
+        sr, sc = draw(keys[i])
+        last = i == n_spins - 1
+        new_acc = spin_dynamic(sr, sc, acc,
+                               scale=(1.0 / n_spins
+                                      if last and n_spins > 1 else 1.0))
+        if new_acc is None:
+            fused_ok = False
+            break
+        acc = new_acc
+    if fused_ok:
+        return acc
+
     def one(carry, k):
         sr = jax.random.randint(k, (), 0, nr)
         sc = jax.random.randint(jax.random.fold_in(k, 1), (), 0, nc)
@@ -204,6 +269,5 @@ def denoise2d_cycle_spinning(img, wname, levels, beta, key=None,
         rec = jnp.roll(spin(shifted), (-sr, -sc), (-2, -1))
         return carry + rec, None
 
-    keys = jax.random.split(key, n_spins)
     acc, _ = jax.lax.scan(one, jnp.zeros_like(img), keys)
     return acc / n_spins

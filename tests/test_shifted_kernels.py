@@ -147,6 +147,102 @@ def test_static_pipeline_normalize_and_hard_match_roll_path():
                                    atol=3e-5)
 
 
+@pytest.mark.parametrize("wname", ["db2", "sym4"])
+@pytest.mark.parametrize("shift", [(0, 0), (1, 1), (2, 3), (7, 5),
+                                   (3, 7), (6, 2)])
+def test_dynshift_analysis_matches_rolled(wname, shift):
+    """The dynamic-shift kernel (traced sr, sc) must equal
+    analysis-of-rolled-image for every shift in [0, smax]."""
+    fb = get_filter_bank(wname)
+    x = _f32((128, 128))
+    sr, sc = shift
+    got = pk.dwt2d_fused_dynshift(x, fb, jnp.asarray(sr),
+                                  jnp.asarray(sc), smax=7)
+    assert got is not None
+    ref = dwt.dwt2d(jnp.roll(x, (sr, sc), (-2, -1)), fb)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=3e-5)
+
+
+@pytest.mark.parametrize("wname", ["db2", "db4"])
+@pytest.mark.parametrize("shift", [(0, 0), (1, 1), (2, 3), (7, 5),
+                                   (4, 6)])
+def test_dynunshift_synthesis_matches_unrolled(wname, shift):
+    fb = get_filter_bank(wname)
+    shape = (128, 128)
+    sr, sc = shift
+    a, h, v, d = (_f32((64, 64)) for _ in range(4))
+    got = pk.idwt2d_fused_dynunshift(a, h, v, d, fb, shape,
+                                     jnp.asarray(sr), jnp.asarray(sc),
+                                     smax=7)
+    assert got is not None
+    ref = jnp.roll(dwt.idwt2d(a, h, v, d, fb, shape), (-sr, -sc),
+                   (-2, -1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-5)
+
+
+def test_dynshift_roundtrip_thresh_and_acc():
+    """Dynamic roundtrip recovers the image; in-kernel threshold and
+    accumulator epilogues match the unfused formulation."""
+    fb = get_filter_bank("db2")
+    x = _f32((128, 128))
+    for sr, sc in ((3, 4), (5, 7), (0, 2)):
+        c = pk.dwt2d_fused_dynshift(x, fb, jnp.asarray(sr),
+                                    jnp.asarray(sc), smax=7)
+        y = pk.idwt2d_fused_dynunshift(*c, fb, x.shape, jnp.asarray(sr),
+                                       jnp.asarray(sc), smax=7)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   atol=3e-5)
+
+    beta = 0.7
+    got = pk.dwt2d_fused_dynshift(x, fb, jnp.asarray(3), jnp.asarray(5),
+                                  smax=7, thresh_mode="soft", beta=beta)
+    assert got is not None
+    a, h, v, d = dwt.dwt2d(jnp.roll(x, (3, 5), (-2, -1)), fb)
+    st = lambda t: jnp.sign(t) * jnp.maximum(jnp.abs(t) - beta, 0)
+    for g, r in zip(got, (a, st(h), st(v), st(d))):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=3e-5)
+
+    acc = _f32((128, 128))
+    a4, h4, v4, d4 = (_f32((64, 64)) for _ in range(4))
+    out = pk.idwt2d_fused_dynunshift(a4, h4, v4, d4, fb, (128, 128),
+                                     jnp.asarray(3), jnp.asarray(5),
+                                     smax=7, acc=acc, scale=0.25)
+    assert out is not None
+    ref = (acc + jnp.roll(dwt.idwt2d(a4, h4, v4, d4, fb, (128, 128)),
+                          (-3, -5), (-2, -1))) * 0.25
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5)
+
+
+def test_random_pipeline_matches_roll_path():
+    """Random-mode cycle spinning through the fused dynamic-shift
+    kernels must equal the roll-based scan path for the same key — the
+    mod-2^levels shift reduction is exact (the periodized pyramid
+    commutes with 2^L translations and thresholding is pointwise)."""
+    x = _f32((128, 128))
+    key = jax.random.key(42)
+    dwt.set_kernels("pallas")  # activate the fused dynamic path on CPU
+    try:
+        got = pipeline.denoise2d_cycle_spinning(
+            x, "db2", 2, 0.1, key=key, n_spins=3)
+    finally:
+        dwt.set_kernels("auto")
+    pipeline.denoise2d_cycle_spinning.clear_cache()
+    dwt.set_kernels("jnp")  # roll-based scan fallback
+    try:
+        want = pipeline.denoise2d_cycle_spinning(
+            x, "db2", 2, 0.1, key=key, n_spins=3)
+    finally:
+        dwt.set_kernels("auto")
+    pipeline.denoise2d_cycle_spinning.clear_cache()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5)
+
+
 def test_multishift_kernels_match_per_spin():
     """The one-pass multi-spin kernels equal the per-spin formulation."""
     fb = get_filter_bank("db2")
