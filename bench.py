@@ -30,6 +30,12 @@ import numpy as np
 # intended.
 BASELINE_FPS = 2750.0
 
+# Performance floor (VERDICT r4 next #4): the headline has measured
+# 5084/5052/5061 fps over rounds 2-4; a regression below ~10% of that
+# band now exits non-zero (the JSON line is still printed first so the
+# driver records the regressed number alongside the failure).
+HEADLINE_FLOOR_FPS = 4550.0
+
 
 def main():
     sys.path.insert(0, os.path.join(os.path.dirname(
@@ -77,6 +83,10 @@ def main():
         "vs_baseline": round(vs, 3),
         "pipelined_fps": round(1.0 / tp, 3),
     }))
+    if fps < HEADLINE_FLOOR_FPS:
+        print(f"[bench] PERFORMANCE FLOOR FAILED: {fps:.0f} fps < "
+              f"{HEADLINE_FLOOR_FPS:.0f} floor", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -41,6 +41,45 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 SCALE = 255.0  # match the reference's 0..255 test regime
 GATE = 7e-4 * SCALE  # reference roundtrip tolerance (test_wavelets.py:538)
 
+# Performance floors (VERDICT r4 next #4): minimum pct_streaming_floor
+# per row, set ~10% under the round-4 measured value so a real
+# regression fails the suite while chip-to-chip noise does not.  Rows
+# improved during round 5 carry the tightened post-improvement floor.
+# A row whose timing succeeds but lands under its floor exits non-zero,
+# exactly like a correctness-gate breach; a relay-flake row (no timing)
+# records floor_ok=None and does not pass silently — it is listed in
+# the summary as UNMEASURED.
+FLOOR_GATES = {
+    "dwt2d_roundtrip_db2_L3_128": 13.5,
+    "dwt2d_roundtrip_db2_L3_256": 31.0,
+    "dwt2d_roundtrip_db2_L3_512": 51.0,
+    "dwt2d_roundtrip_db2_L3_1024": 66.0,
+    "dwt2d_roundtrip_db2_L3_2048": 61.0,
+    "dwt2d_roundtrip_db2_L3_4096": 52.0,
+    "dwt2d_roundtrip_haar_L3_2048": 90.0,
+    "dwt2d_roundtrip_db4_L3_2048": 59.0,
+    "dwt2d_roundtrip_sym8_L3_2048": 59.0,
+    "dwt2d_roundtrip_coif3_L3_2048": 60.0,
+    "dwt2d_roundtrip_bior4.4_L3_2048": 60.0,
+    "swt2d_roundtrip_db2_L4_1024": 104.0,
+    "swt2d_roundtrip_sym8_L3_1024": 45.0,
+    "dwt2d_roundtrip_sym8_L3_2048_bf16": 198.0,
+    "swt2d_roundtrip_sym8_L3_1024_bf16": 120.0,
+    "denoise_soft_db2_L3_2048": 58.0,
+    "denoise_cycle_spin4_db2_L3_2048": 28.0,
+    "denoise_cycle_spin4static_db2_L3_2048": 50.0,
+    "dwt1d_batched2048_roundtrip_db2_L3_4096": 100.0,
+    "dwt2d_stack8_roundtrip_db2_L3_1024": 61.0,
+    "dwt1d_long_roundtrip_db2_L5_4Mi": 36.0,
+    "swt1d_long_roundtrip_db2_L4_4Mi": 72.0,
+    "dwt1d_long_roundtrip_db4_L5_4Mi": 28.0,
+    "swt1d_long_roundtrip_db4_L3_4Mi": 55.0,
+    "dwt1d_long_roundtrip_sym8_L5_4Mi": 22.0,
+    "swt1d_long_roundtrip_sym8_L3_4Mi": 36.0,
+    "nonsep_true2d_db3xcoif1_roundtrip_L3_2048": 27.0,
+    "nonsep_rank6_dense_fwd_L2_2048": 11.0,
+}
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -71,8 +110,11 @@ def main():
     # across rounds (VERDICT r3 next #7).
     STREAM_FLOOR_GBPS = 670.0
 
+    perf_failed = []
+    unmeasured = []
+
     def record(name, time_thunk, err_thunk, gate=GATE, frames=1,
-               min_bytes=None):
+               min_bytes=None, err_is_relative=False):
         """Correctness first, then timing: the remote compile helper is
         flaky on very large scan programs (SIGKILL observed for the
         4Mi-sample chained scan) — a timing-compile failure must not
@@ -81,19 +123,32 @@ def main():
         ok = bool(max_err <= gate)
         row = {"bench": name, "max_err": float(f"{max_err:.3e}"),
                "err_ok": ok, "device": dev}
+        if err_is_relative:
+            row["err_is_relative"] = True
+        floor = FLOOR_GATES.get(name)
+        if floor is not None:
+            row["floor_gate"] = floor
         try:
             seconds = time_thunk()
             row["time_us"] = round(seconds * 1e6, 2)
             row["throughput_fps"] = round(frames / seconds, 1)
             if min_bytes is not None:
                 gbps = min_bytes / seconds / 1e9
+                pct = 100.0 * gbps / STREAM_FLOOR_GBPS
                 row["bytes_moved"] = int(min_bytes)
                 row["effective_gbps"] = round(gbps, 1)
-                row["pct_streaming_floor"] = round(
-                    100.0 * gbps / STREAM_FLOOR_GBPS, 1)
+                row["pct_streaming_floor"] = round(pct, 1)
+                if floor is not None:
+                    row["floor_ok"] = bool(pct >= floor)
+                    if pct < floor:
+                        perf_failed.append(
+                            f"{name} ({pct:.1f} < {floor})")
         except Exception as e:  # compile-relay flake: record, continue
             row["time_us"] = None
             row["timing_error"] = f"{type(e).__name__}"
+            if floor is not None:
+                row["floor_ok"] = None
+                unmeasured.append(name)
             print(f"[timing failed for {name}: {type(e).__name__}]",
                   file=sys.stderr, flush=True)
         results.append(row)
@@ -161,11 +216,11 @@ def main():
         # reduced-precision MXU mode: single-pass bf16 dots (~6x the
         # six-pass HIGHEST MXU rate), opt-in via
         # core.dwt.set_mxu_precision("bf16") for throughput-first
-        # workloads.  Own loose gate: worst-pixel error measured
-        # 1.2-3.4% of scale across all 67 MXU-eligible banks on-device
-        # (~1% RMS, PSNR 40.0-51.9 dB; VERIFY_TPU_r04) — outside the
-        # reference envelope BY DESIGN, so the standard GATE would lie;
-        # 6.0 abs = 2.4% of the 255 scale on these L3 entries.
+        # workloads.  Gate is the RELATIVE worst-pixel error at 0.04,
+        # the same rule tools/verify_tpu.py applies across all 67
+        # MXU-eligible banks (measured 1.2-3.4% worst-pixel, ~1% RMS,
+        # PSNR 40.0-51.9 dB; VERIFY_TPU_r04) — outside the reference's
+        # absolute envelope BY DESIGN.
         # fresh lambdas: jit caches on function identity, so reusing
         # rt_swt8 here would silently reuse its HIGHEST executable
         rt8_b = lambda v: dwt.waverec2(dwt.wavedec2(v, fbw8, 3), fbw8,
@@ -175,13 +230,13 @@ def main():
         try:
             record("dwt2d_roundtrip_sym8_L3_2048_bf16",
                    lambda: timeit_chained(rt8_b, x0, iters=iters),
-                   lambda: rt_err(rt8_b, x0), gate=6.0,
-                   min_bytes=dwt2d_rt_bytes(n))
+                   lambda: rt_err(rt8_b, x0) / SCALE, gate=0.04,
+                   min_bytes=dwt2d_rt_bytes(n), err_is_relative=True)
             record("swt2d_roundtrip_sym8_L3_1024_bf16",
                    lambda: timeit_chained(rt_swt8_b, s0,
                                           iters=max(16, iters // 4)),
-                   lambda: rt_err(rt_swt8_b, s0), gate=6.0,
-                   min_bytes=swt2d_rt_bytes(m, 3))
+                   lambda: rt_err(rt_swt8_b, s0) / SCALE, gate=0.04,
+                   min_bytes=swt2d_rt_bytes(m, 3), err_is_relative=True)
         finally:
             dwt.set_mxu_precision("highest")
 
@@ -348,11 +403,18 @@ def main():
         # pyramid can't be the scan carry directly: profiling.timeit's
         # shape adapter folds a scalar of the output back into an
         # image-shaped carry (fixes the r3 timing_error=TypeError row)
+        #
+        # min_bytes is a PER-TERM cost model (VERDICT r4 weak #7): the
+        # rank-r SVD separable-sum intrinsically sweeps r separable
+        # passes per subband, so the honest traffic denominator is r x
+        # the one-pass figure — the old one-pass denominator made the
+        # row read as 2% of floor when the formulation, not the kernel,
+        # carries the factor.
         record(f"nonsep_rank{r6}_dense_fwd_L2_2048",
                lambda: profiling.timeit(fwd6, x0,
                                         iters=max(16, iters // 4)),
                diff6, gate=1e-3 * SCALE,
-               min_bytes=int(2 * 1.25 * n * n * 4))
+               min_bytes=int(r6 * 2 * 1.25 * n * n * 4))
 
     if args.out:
         with open(args.out, "a") as f:
@@ -375,9 +437,19 @@ def main():
     # keys mix int-first and str-tagged tuples ("mxu"/"pyr"): sort by repr
     for k, v in sorted(_pk.BAND_CHOICES.items(), key=repr):
         print(f"  {k} -> {v}", file=sys.stderr)
+    rc = 0
     if failed:
         print(f"\nCORRECTNESS GATE FAILED: {failed}", file=sys.stderr)
-        sys.exit(1)
+        rc = 1
+    if perf_failed:
+        print(f"\nPERFORMANCE FLOOR FAILED: {perf_failed}",
+              file=sys.stderr)
+        rc = 1
+    if unmeasured:
+        print(f"\nUNMEASURED (relay flake, floor not checked): "
+              f"{unmeasured}", file=sys.stderr)
+    if rc:
+        sys.exit(rc)
 
 
 if __name__ == "__main__":
