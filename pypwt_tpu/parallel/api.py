@@ -44,8 +44,9 @@ class BatchedWavelets:
     ``rows`` — the stacks-of-large-frames configuration (e.g. v5e-16 as
     4 data x 4 rows).  Per-frame compute runs the fused sharded kernels
     with ppermute halo exchange; frame rows are padded internally to the
-    mesh-aligned size (edge-replicated) and cropped on readback, as in
-    ``ShardedWavelets``.
+    mesh-aligned size (PERIODIC extension, so the padded coefficients
+    are exactly the transform of the periodized extension) and cropped
+    on readback, as in ``ShardedWavelets``.
     """
 
     def __init__(self, stack, wname, levels, do_swt=0, mesh=None,
@@ -93,7 +94,7 @@ class BatchedWavelets:
         pr = self._Nrp - stack.shape[1]
         if pr:
             stack = np.pad(np.asarray(stack), ((0, 0), (0, pr), (0, 0)),
-                           mode="edge")
+                           mode="wrap")
         return jax.device_put(jnp.asarray(stack), self._hsharding)
 
     def _build_plans(self):

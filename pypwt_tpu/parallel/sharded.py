@@ -39,10 +39,18 @@ class ShardedWavelets:
     addressed (pypwt.pyx:146-151 transforms rows of one device's image).
 
     Any image size is accepted (the reference's contract, wt.cu:84-185):
-    inputs are padded internally (edge-replicated) to the mesh-aligned
-    size, transformed sharded, and cropped on readback.  Coefficients
-    therefore have the padded geometry — exact for mesh-aligned sizes,
-    and the forward->process->inverse pipeline is exact for every size.
+    inputs are padded internally to the mesh-aligned size with PERIODIC
+    extension, transformed sharded, and cropped on readback.  The exact
+    coefficient contract for non-mesh-aligned sizes is therefore:
+    ``coeffs`` equals the single-device transform OF THE PERIODIC
+    EXTENSION to the mesh-aligned size (testable and tested,
+    test_sharded_api.py::test_sharded_nonaligned_coeffs_are_periodized).
+    That is not bit-identical to a single-device plan of the unpadded
+    size (which periodizes at Nr/Nc via the odd-size div2 rule,
+    wt.cu:473-506): coefficients whose support touches the wrap differ;
+    interior coefficients — and hence interior pixels of any
+    forward->pointwise-process->inverse pipeline — agree exactly, and
+    the unprocessed roundtrip is exact everywhere at every size.
     """
 
     def __init__(self, img, wname, levels, do_swt=0, do_cycle_spinning=0,
@@ -145,15 +153,17 @@ class ShardedWavelets:
         self._denoise_cache = {}
 
     def _put(self, img):
-        """Pad (edge-replicate) to the mesh-aligned size and shard."""
+        """Pad (PERIODIC extension — the transform's own boundary rule,
+        making the padded coefficients a documented exact object) to the
+        mesh-aligned size and shard."""
         if self.ndim == 1:
             pr = self._Nrp - img.shape[0]
             if pr:
-                img = np.pad(img, (0, pr), mode="edge")
+                img = np.pad(img, (0, pr), mode="wrap")
         else:
             pr, pc = self._Nrp - img.shape[0], self._Ncp - img.shape[1]
             if pr or pc:
-                img = np.pad(img, ((0, pr), (0, pc)), mode="edge")
+                img = np.pad(img, ((0, pr), (0, pc)), mode="wrap")
         return jax.device_put(jnp.asarray(img), self._sharding)
 
     def forward(self, img=None):
