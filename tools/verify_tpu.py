@@ -287,41 +287,71 @@ def main():
             def bf16_stats(v, fb=fb):
                 rt = dwt.waverec2(dwt.wavedec2(v, fb, 2), fb, (nf, nf))
                 d = rt - v
-                return jnp.stack([jnp.abs(d).max(),
-                                  jnp.mean(d * d)])
+                # SWT in the same program (VERDICT r4 next #7: bf16 SWT
+                # — the mode the crossover table routes to the MXU at
+                # EVERY level — had zero verify rows)
+                rts = swt.iswt2d(swt.swt2d(v, fb, 2), fb)
+                ds = rts - v
+                return jnp.stack([jnp.abs(d).max(), jnp.mean(d * d),
+                                  jnp.abs(ds).max(), jnp.mean(ds * ds)])
 
             dwt.set_kernels("mxu")
             try:
-                mx, mse = np.asarray(jax.jit(bf16_stats)(xf))
+                mx, mse, mxs, mses = np.asarray(jax.jit(bf16_stats)(xf))
             finally:
                 dwt.set_kernels("auto")
-            rel = float(mx) / SCALE
-            psnr = float(10.0 * np.log10(SCALE * SCALE
-                                         / max(mse, 1e-30)))
-            ok_psnr = psnr >= 38.0
-            record(wname, "dwt2d_roundtrip_L2_bf16_rel",
-                   rel if ok_psnr else 1.0, 0.04,
-                   extra={"psnr_db": round(psnr, 1),
-                          "rms_rel": float(f"{np.sqrt(mse) / SCALE:.3e}"),
-                          "max_abs": float(f"{mx:.3e}")})
+            for mode, m, e in (("dwt2d_roundtrip_L2_bf16_rel", mx, mse),
+                               ("swt2d_roundtrip_L2_bf16_rel", mxs,
+                                mses)):
+                rel = float(m) / SCALE
+                psnr = float(10.0 * np.log10(SCALE * SCALE
+                                             / max(e, 1e-30)))
+                ok_psnr = psnr >= 38.0
+                record(wname, mode, rel if ok_psnr else 1.0, 0.04,
+                       extra={"psnr_db": round(psnr, 1),
+                              "rms_rel":
+                                  float(f"{np.sqrt(e) / SCALE:.3e}"),
+                              "max_abs": float(f"{m:.3e}")})
     finally:
         dwt.set_mxu_precision("highest")
 
     # ---- float64 (TPU f64 is emulated by XLA; the dtype-generic core
-    # must still reconstruct to f64-grade error) ----
+    # must still reconstruct to f64-grade error).  The reference's
+    # DOUBLEPRECISION build runs its whole kernel set in f64
+    # (filters.h:16-30); here f64 routes to the jnp path, so the device
+    # matrix covers the modes (DWT, SWT, odd-size, batched-1D), not the
+    # kernels (VERDICT r4 missing #3: one f64 row was not a matrix) ----
     jax.config.update("jax_enable_x64", True)
     try:
         x64 = jnp.asarray(
             rng.random((256, 256), dtype=np.float64) * SCALE)
-        fb = get_filter_bank("db2")
+        xo64 = jnp.asarray(
+            rng.random((255, 255), dtype=np.float64) * SCALE)
+        xb64 = jnp.asarray(
+            rng.random((64, 512), dtype=np.float64) * SCALE)
+        for wname in ("db2", "sym8", "bior4.4"):
+            fb = get_filter_bank(wname)
 
-        def f64_err(v, fb=fb):
-            rt = dwt.waverec2(dwt.wavedec2(v, fb, 3), fb, (256, 256))
-            return jnp.abs(rt - v).max()
+            def f64_errs(v, vo, vb, fb=fb):
+                rt = dwt.waverec2(dwt.wavedec2(v, fb, 3), fb,
+                                  (256, 256))
+                rts = swt.iswt2d(swt.swt2d(v, fb, 2), fb)
+                rto = dwt.waverec2(dwt.wavedec2(vo, fb, 2), fb,
+                                   (255, 255))
+                rtb = dwt.waverec1(dwt.wavedec1(vb, fb, 2), fb, 512)
+                return jnp.stack([jnp.abs(rt - v).max(),
+                                  jnp.abs(rts - v).max(),
+                                  jnp.abs(rto - vo).max(),
+                                  jnp.abs(rtb - vb).max()])
 
-        err64 = float(jax.jit(f64_err)(x64))
-        record("db2", "dwt2d_roundtrip_L3_float64", err64,
-               1e-10 * SCALE, extra={"dtype": "float64"})
+            errs64 = np.asarray(jax.jit(f64_errs)(x64, xo64, xb64))
+            for mode, err64 in zip(
+                    ("dwt2d_roundtrip_L3_float64",
+                     "swt2d_roundtrip_L2_float64",
+                     "dwt2d_roundtrip_255x255_L2_float64",
+                     "dwt1d_batched_roundtrip_L2_float64"), errs64):
+                record(wname, mode, float(err64), 1e-10 * SCALE,
+                       extra={"dtype": "float64"})
     finally:
         jax.config.update("jax_enable_x64", False)
 
