@@ -139,17 +139,38 @@ def _pick_b(span, L, row_mult, k_mult):
 # the dilation zeros inside the band, not a property of the chip
 # (VERDICT r4 next #1).  Applies whenever t divides the transform
 # length; the banded form remains as the fallback.
+#
+# BUT the reshape is not free on the chip: merging t sublane rows into
+# the lane axis is a physical vreg relayout (and the outputs reshape
+# back), costing ~20 us per 1024^2 pass (round-5 probe: db4 L2 analysis
+# 81.6 us polyphase vs 61.3 banded flat; bf16 43.0 vs 26.8).  So the
+# compact form is only engaged where the banded form's dilated span
+# would cross its measured cliff — and NEVER in bf16 mode, whose
+# single-pass banded dots showed no cliff in the measured range.
+# Span thresholds are chip-measured (tools/proto_swt_poly.py, round 5).
 # ---------------------------------------------------------------------------
 
+_POLY_MIN_SPAN_ANA = 100   # banded analysis flat to span ~76, cliff >100
+_POLY_MIN_SPAN_SYN = 48    # banded synthesis declines from span ~56
 
-def _poly_t(level, *Ls):
-    """The dilation 2^(level-1) if the polyphase reshape applies to every
-    transform length in ``Ls`` (and the padded totals, which follow), else
-    1 (banded fallback)."""
+
+def _poly_t(level, *Ls, hlen=None, synthesis=False, prec="highest"):
+    """The dilation 2^(level-1) if the polyphase reshape (a) applies to
+    every transform length in ``Ls`` and (b) is predicted faster than
+    the banded form (span past the banded cliff, f32 mode only); else 1
+    (banded).  PYPWT_SWT_POLY=always|never overrides (probe knob)."""
+    import os
     t = 1 << (level - 1)
-    if t > 1 and all(L % t == 0 for L in Ls):
+    if t == 1 or any(L % t for L in Ls):
+        return 1
+    force = os.environ.get("PYPWT_SWT_POLY", "auto")
+    if force == "always":
         return t
-    return 1
+    if force == "never" or prec != "highest":
+        return 1
+    span = (hlen - 1) * t
+    return t if span >= (_POLY_MIN_SPAN_SYN if synthesis
+                         else _POLY_MIN_SPAN_ANA) else 1
 
 
 def _mat_level(level, te):
@@ -232,7 +253,7 @@ def _build_swt2d_mxu(nr, nc, flo, fhi, level, interpret, prec="highest"):
     if bands is None:
         return None
     ib, hh = bands
-    te = _poly_t(level, ib, nc)
+    te = _poly_t(level, ib, nc, hlen=hlen, prec=prec)
     span = (hlen - 1) * (t // te)
     b = _pick_b(span, min(ib, nc) // te, row_mult=2, k_mult=1)
     if b < 1:
@@ -328,7 +349,8 @@ def _build_iswt2d_mxu(nr, nc, flo, fhi, level, interpret, prec="highest"):
     if bands is None:
         return None
     ib, hh = bands
-    te = _poly_t(level, ib, nc)
+    te = _poly_t(level, ib, nc, hlen=hlen, synthesis=True,
+                 prec=prec)
     span = (hlen - 1) * (t // te)
     b = _pick_b(span, min(ib, nc) // te, row_mult=1, k_mult=2)
     if b < 1:
@@ -422,7 +444,7 @@ def _build_swt1d_mxu(nr, nc, flo, fhi, level, interpret, prec="highest"):
     if bands is None:
         return None
     ib, _ = bands
-    te = _poly_t(level, nc)
+    te = _poly_t(level, nc, hlen=hlen, prec=prec)
     span = (hlen - 1) * (t // te)
     b = _pick_b(span, nc // te, row_mult=2, k_mult=1)
     if b < 1:
@@ -489,7 +511,7 @@ def _build_iswt1d_mxu(nr, nc, flo, fhi, level, interpret, prec="highest"):
     if bands is None:
         return None
     ib, _ = bands
-    te = _poly_t(level, nc)
+    te = _poly_t(level, nc, hlen=hlen, synthesis=True, prec=prec)
     span = (hlen - 1) * (t // te)
     b = _pick_b(span, nc // te, row_mult=1, k_mult=2)
     if b < 1:
@@ -564,7 +586,7 @@ def build_swt2d_sharded_mxu(nr, nc, flo, fhi, level, interpret, prec="highest"):
     if bands is None:
         return None
     ib, hh = bands
-    te = _poly_t(level, ib, nc)
+    te = _poly_t(level, ib, nc, hlen=hlen, prec=prec)
     span = (hlen - 1) * (t // te)
     b = _pick_b(span, min(ib, nc) // te, row_mult=2, k_mult=1)
     if b < 1:
@@ -644,7 +666,8 @@ def build_iswt2d_sharded_mxu(nr, nc, flo, fhi, level, interpret, prec="highest")
     if bands is None:
         return None
     ib, hh = bands
-    te = _poly_t(level, ib, nc)
+    te = _poly_t(level, ib, nc, hlen=hlen, synthesis=True,
+                 prec=prec)
     span = (hlen - 1) * (t // te)
     b = _pick_b(span, min(ib, nc) // te, row_mult=1, k_mult=2)
     if b < 1:
@@ -731,7 +754,7 @@ def _build_swt1d_long_mxu(nr, c, level, flo, fhi, interpret, prec="highest"):
     if bands is None:
         return None
     ib, hh = bands
-    te = _poly_t(level, c)
+    te = _poly_t(level, c, hlen=hlen, prec=prec)
     span = (hlen - 1) * (t // te)
     b = _pick_b(span, c // te, row_mult=2, k_mult=1)
     if b < 1:
@@ -800,7 +823,7 @@ def _build_iswt1d_long_mxu(nr, c, level, flo, fhi, interpret, prec="highest"):
     if bands is None:
         return None
     ib, hh = bands
-    te = _poly_t(level, c)
+    te = _poly_t(level, c, hlen=hlen, synthesis=True, prec=prec)
     span = (hlen - 1) * (t // te)
     b = _pick_b(span, c // te, row_mult=1, k_mult=2)
     if b < 1:

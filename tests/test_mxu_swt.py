@@ -205,9 +205,19 @@ def test_mxu_swt2d_polyphase_falls_back_banded():
     """A transform length not divisible by the dilation declines the
     polyphase reshape and still matches the oracle via the banded form."""
     from pypwt_tpu.ops import mxu_swt as m
-    assert m._poly_t(3, 64, 102) == 1      # 102 % 4 != 0 -> banded
-    assert m._poly_t(3, 64, 128) == 4
-    assert m._poly_t(1, 64, 128) == 1      # level 1 is already compact
+    # non-divisible length -> banded regardless of span
+    assert m._poly_t(4, 64, 102, hlen=16) == 1
+    # span past the banded cliff and divisible -> polyphase
+    assert m._poly_t(4, 64, 128, hlen=16) == 8
+    # level 1 is already compact
+    assert m._poly_t(1, 64, 128, hlen=16) == 1
+    # small span: banded is faster than paying the reshape relayouts
+    assert m._poly_t(2, 64, 128, hlen=8) == 1
+    # bf16 banded dots have no cliff -> never polyphase
+    assert m._poly_t(4, 64, 128, hlen=16, prec="bf16") == 1
+    # synthesis cliff comes earlier
+    assert m._poly_t(3, 64, 128, hlen=16, synthesis=True) == 4
+    assert m._poly_t(3, 64, 128, hlen=16) == 1
     fb = get_filter_bank("sym8")
     x = _rand((64, 102))
     got = mxs.swt2d_level_fused_mxu(x, fb, 3)
