@@ -178,6 +178,18 @@ def _mat_level(level, te):
     return 1 if te > 1 else level
 
 
+def clear_builder_caches():
+    """Drop every SWT MXU builder cache.  Needed after toggling the
+    PYPWT_SWT_POLY probe override: the env knob is read at build time
+    but is deliberately NOT part of the lru_cache keys (it exists only
+    for A/B probes; production form selection is the span rule)."""
+    for b in (_build_swt2d_mxu, _build_iswt2d_mxu, _build_swt1d_mxu,
+              _build_iswt1d_mxu, build_swt2d_sharded_mxu,
+              build_iswt2d_sharded_mxu, _build_swt1d_long_mxu,
+              _build_iswt1d_long_mxu):
+        b.cache_clear()
+
+
 # ---------------------------------------------------------------------------
 # In-kernel banded-dot a-trous passes (sublane axis)
 # ---------------------------------------------------------------------------

@@ -2000,7 +2000,7 @@ def _long_variant():
     return os.environ.get("PYPWT_LONGFOLD", "scratch")
 
 
-def _long_max_body(hlen):
+def _long_max_body():
     v = os.environ.get("PYPWT_LONG_MAXBODY", "")
     return int(v) if v else 512
 
@@ -2130,7 +2130,8 @@ def _build_dwt1d_long(nr, c, lp, rp, flo, fhi, interpret,
     hlen = len(flo)
     if hlen % 2 or c % 2 or (c + lp + rp) % 2:
         return None
-    bands = _long1d_bands(nr, c, lp, rp, hlen, n_bufs=6,
+    bands = _long1d_bands(nr, c, lp, rp, hlen,
+                          n_bufs=7 if variant == "scratch" else 6,
                           max_body=max_body)
     if bands is None:
         return None
@@ -2166,7 +2167,7 @@ def dwt1d_long_fused(x, fb, rc):
     lp, rp = conv.analysis_pads(fb.hlen)
     f = _build_dwt1d_long(r, c, lp, rp, _taps(fb.dec_lo),
                           _taps(fb.dec_hi), _interpret(),
-                          _long_variant(), _long_max_body(fb.hlen))
+                          _long_variant(), _long_max_body())
     if f is None:
         return None
     lo, hi = f(x.reshape(r, c))
@@ -2195,7 +2196,8 @@ def _build_idwt1d_long(nr, c, lp, rp, flo, fhi, interpret,
     hlen = len(flo)
     if hlen % 2:
         return None
-    bands = _long1d_bands(nr, c, lp, rp, hlen, n_bufs=8,
+    bands = _long1d_bands(nr, c, lp, rp, hlen,
+                          n_bufs=10 if variant == "scratch" else 8,
                           max_body=max_body)
     if bands is None:
         return None
@@ -2234,7 +2236,7 @@ def idwt1d_long_fused(a, d, fb, n_out, rc):
     lp, rp = conv.synthesis_pads(fb.hlen, c, 2 * c)
     f = _build_idwt1d_long(r, c, lp, rp, _taps(fb.rec_lo),
                            _taps(fb.rec_hi), _interpret(),
-                           _long_variant(), _long_max_body(fb.hlen))
+                           _long_variant(), _long_max_body())
     if f is None:
         return None
     return f(a.reshape(r, c), d.reshape(r, c)).reshape(-1)
@@ -2262,7 +2264,8 @@ def _build_swt1d_long(nr, c, level, flo, fhi, interpret,
                       variant="plain", max_body=512):
     hlen = len(flo)
     lp, rp, s, factor = _swt_pads(hlen, level, inverse=False)
-    bands = _long1d_bands(nr, c, lp, rp, hlen, n_bufs=6,
+    bands = _long1d_bands(nr, c, lp, rp, hlen,
+                          n_bufs=7 if variant == "scratch" else 6,
                           max_body=max_body)
     if bands is None:
         return None
@@ -2300,7 +2303,7 @@ def swt1d_long_fused(x, fb, level, rc):
         return None  # row-roll fast path handles this better
     built = _build_swt1d_long(r, c, level, _taps(fb.dec_lo),
                               _taps(fb.dec_hi), _interpret(),
-                              _long_variant(), _long_max_body(fb.hlen))
+                              _long_variant(), _long_max_body())
     if built is None:
         return None
     f, _ = built
@@ -2330,7 +2333,8 @@ def _build_iswt1d_long(nr, c, level, flo, fhi, interpret,
                        variant="plain", max_body=512):
     hlen = len(flo)
     lp, rp, s, factor = _swt_pads(hlen, level, inverse=True)
-    bands = _long1d_bands(nr, c, lp, rp, hlen, n_bufs=8,
+    bands = _long1d_bands(nr, c, lp, rp, hlen,
+                          n_bufs=10 if variant == "scratch" else 8,
                           max_body=max_body)
     if bands is None:
         return None
@@ -2368,7 +2372,7 @@ def iswt1d_long_fused(a, d, fb, level, rc):
         return None  # row-roll fast path handles this better
     built = _build_iswt1d_long(r, c, level, _taps(fb.rec_lo),
                                _taps(fb.rec_hi), _interpret(),
-                               _long_variant(), _long_max_body(fb.hlen))
+                               _long_variant(), _long_max_body())
     if built is None:
         return None
     f, _ = built

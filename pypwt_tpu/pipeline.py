@@ -82,41 +82,51 @@ def denoise2d_cycle_spinning(img, wname, levels, beta, key=None,
         pyr = th(pyr, beta, bool(threshold_appcoeffs), bool(normalize))
         return inv(pyr)
 
+    _sqrt2 = 2.0 ** 0.5
+    _b1 = beta / _sqrt2 if normalize else beta  # finest-level beta
+
+    def _fused_ok():
+        return (dwt._pallas_enabled() and img.ndim == 2
+                and img.dtype == jnp.float32 and fb.hlen != 2)
+
+    def _sub_pyramid(a):
+        """Shared spin body for the fused cycle-spin paths: decompose
+        the level-1 approximation through levels 2..L, threshold the
+        sub-pyramid (beta/sqrt2 keeps the global normalize schedule
+        aligned with the level-0 in-kernel threshold), reconstruct back
+        to the level-1 approximation plane."""
+        details = []
+        for _ in range(levels - 1):
+            a, h, v, d = dwt.dwt2d(a, fb)
+            details.append((h, v, d))
+        sub = th([a] + details,
+                 beta / _sqrt2 if normalize else beta,
+                 bool(threshold_appcoeffs), bool(normalize))
+        sizes = [img.shape[-2:]]
+        for _ in range(levels):
+            sizes.append((div2(sizes[-1][0]), div2(sizes[-1][1])))
+        a = sub[0]
+        for lev in range(levels - 1, 0, -1):
+            hh, vv, dd = sub[lev]
+            a = dwt.idwt2d(a, hh, vv, dd, fb, sizes[lev])
+        return a
+
     def spin_static(sr, sc, acc, scale=1.0):
         """One spin with the static shift folded into the level-0
         kernels: the level-0 detail threshold runs in the analysis
         kernel's epilogue and the spin accumulator is fused into the
         unshifting synthesis store, so a spin costs one denoise's HBM
         traffic.  None if the kernels decline."""
-        if (not dwt._pallas_enabled() or img.ndim != 2
-                or img.dtype != jnp.float32 or fb.hlen == 2):
+        if not _fused_ok():
             return None  # haar/batched fall back to the roll path
         from .ops import pallas_dwt as pk
         mode = "hard" if hard else "soft"
-        sqrt2 = 2.0 ** 0.5
-        b1 = beta / sqrt2 if normalize else beta  # finest-level beta
         c0 = pk.dwt2d_fused_shifted(img, fb, sr, sc, thresh_mode=mode,
-                                    beta=b1)
+                                    beta=_b1)
         if c0 is None:
             return None
         a, h0, v0, d0 = c0
-        details = []
-        for _ in range(levels - 1):
-            a, h, v, d = dwt.dwt2d(a, fb)
-            details.append((h, v, d))
-        # threshold the remaining (level 2..L) sub-pyramid; passing
-        # beta/sqrt2 keeps the global normalize schedule aligned
-        sub = th([a] + details,
-                 beta / sqrt2 if normalize else beta,
-                 bool(threshold_appcoeffs), bool(normalize))
-        sizes = [img.shape[-2:]]
-        for _ in range(levels):
-            sizes.append((div2(sizes[-1][0]),
-                          div2(sizes[-1][1])))
-        a = sub[0]
-        for lev in range(levels - 1, 0, -1):
-            hh, vv, dd = sub[lev]
-            a = dwt.idwt2d(a, hh, vv, dd, fb, sizes[lev])
+        a = _sub_pyramid(a)
         return pk.idwt2d_fused_unshift(a, h0, v0, d0, fb, img.shape,
                                        sr, sc, acc=acc, scale=scale)
 
@@ -124,36 +134,18 @@ def denoise2d_cycle_spinning(img, wname, levels, beta, key=None,
         """All static spins through the multi-shift kernels: one image
         read for every spin's level-0 analysis, one store for the
         averaged reconstruction.  None if uncovered."""
-        if (not dwt._pallas_enabled() or img.ndim != 2
-                or img.dtype != jnp.float32 or fb.hlen == 2):
+        if not _fused_ok():
             return None
         from .ops import pallas_dwt as pk
         red = tuple((int(sr) % (1 << levels), int(sc) % (1 << levels))
                     for sr, sc in shifts)
         mode = "hard" if hard else "soft"
-        sqrt2 = 2.0 ** 0.5
-        b1 = beta / sqrt2 if normalize else beta
         c_all = pk.dwt2d_fused_multishift(img, fb, red, thresh_mode=mode,
-                                          beta=b1)
+                                          beta=_b1)
         if c_all is None:
             return None
-        sizes = [img.shape[-2:]]
-        for _ in range(levels):
-            sizes.append((div2(sizes[-1][0]), div2(sizes[-1][1])))
-        sets = []
-        for (a, h0, v0, d0) in c_all:
-            details = []
-            for _ in range(levels - 1):
-                a, h, v, d = dwt.dwt2d(a, fb)
-                details.append((h, v, d))
-            sub = th([a] + details,
-                     beta / sqrt2 if normalize else beta,
-                     bool(threshold_appcoeffs), bool(normalize))
-            a = sub[0]
-            for lev in range(levels - 1, 0, -1):
-                hh, vv, dd = sub[lev]
-                a = dwt.idwt2d(a, hh, vv, dd, fb, sizes[lev])
-            sets.append((a, h0, v0, d0))
+        sets = [(_sub_pyramid(a), h0, v0, d0)
+                for (a, h0, v0, d0) in c_all]
         return pk.idwt2d_fused_multiunshift(
             sets, fb, img.shape, red,
             scale=1.0 / len(shifts) if len(shifts) > 1 else 1.0)
@@ -204,35 +196,19 @@ def denoise2d_cycle_spinning(img, wname, levels, beta, key=None,
         commutes with 2^L translations and thresholding is pointwise —
         and ride the halo blocks as SMEM-fed dynamic slices at zero
         extra HBM traffic.  None if the kernels decline."""
-        if (not dwt._pallas_enabled() or img.ndim != 2
-                or img.dtype != jnp.float32 or fb.hlen == 2):
+        if not _fused_ok():
             return None
         from .ops import pallas_dwt as pk
         smax = (1 << levels) - 1
         mode = "hard" if hard else "soft"
-        sqrt2 = 2.0 ** 0.5
-        b1 = beta / sqrt2 if normalize else beta
         c0 = pk.dwt2d_fused_dynshift(img, fb, sr, sc, smax,
-                                     thresh_mode=mode, beta=b1)
+                                     thresh_mode=mode, beta=_b1)
         if c0 is None:
             return None
         a, h0, v0, d0 = c0
-        details = []
-        for _ in range(levels - 1):
-            a, h, v, d = dwt.dwt2d(a, fb)
-            details.append((h, v, d))
-        sub = th([a] + details,
-                 beta / sqrt2 if normalize else beta,
-                 bool(threshold_appcoeffs), bool(normalize))
-        sizes = [img.shape[-2:]]
-        for _ in range(levels):
-            sizes.append((div2(sizes[-1][0]), div2(sizes[-1][1])))
-        a = sub[0]
-        for lev in range(levels - 1, 0, -1):
-            hh, vv, dd = sub[lev]
-            a = dwt.idwt2d(a, hh, vv, dd, fb, sizes[lev])
+        a = _sub_pyramid(a)
         return pk.idwt2d_fused_dynunshift(a, h0, v0, d0, fb, img.shape,
-                                          sr, sc, (1 << levels) - 1,
+                                          sr, sc, smax,
                                           acc=acc, scale=scale)
 
     keys = jax.random.split(key, n_spins)

@@ -114,7 +114,7 @@ def main():
     unmeasured = []
 
     def record(name, time_thunk, err_thunk, gate=GATE, frames=1,
-               min_bytes=None, err_is_relative=False):
+               min_bytes=None, err_is_relative=False, floor=None):
         """Correctness first, then timing: the remote compile helper is
         flaky on very large scan programs (SIGKILL observed for the
         4Mi-sample chained scan) — a timing-compile failure must not
@@ -125,7 +125,8 @@ def main():
                "err_ok": ok, "device": dev}
         if err_is_relative:
             row["err_is_relative"] = True
-        floor = FLOOR_GATES.get(name)
+        if floor is None:
+            floor = FLOOR_GATES.get(name)
         if floor is not None:
             row["floor_gate"] = floor
         try:
@@ -410,11 +411,15 @@ def main():
         # the one-pass figure — the old one-pass denominator made the
         # row read as 2% of floor when the formulation, not the kernel,
         # carries the factor.
+        # floor passed explicitly: the row name embeds the computed SVD
+        # term count, so a FLOOR_GATES name lookup would silently stop
+        # applying if svd_terms ever returned a different rank
         record(f"nonsep_rank{r6}_dense_fwd_L2_2048",
                lambda: profiling.timeit(fwd6, x0,
                                         iters=max(16, iters // 4)),
                diff6, gate=1e-3 * SCALE,
-               min_bytes=int(r6 * 2 * 1.25 * n * n * 4))
+               min_bytes=int(r6 * 2 * 1.25 * n * n * 4),
+               floor=FLOOR_GATES["nonsep_rank6_dense_fwd_L2_2048"])
 
     if args.out:
         with open(args.out, "a") as f:

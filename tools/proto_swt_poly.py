@@ -39,9 +39,7 @@ def main():
     cases = [("db2", 4), ("db4", 4), ("sym8", 3), ("db10", 3),
              ("sym8", 4), ("db10", 4), ("sym8", 5)]
 
-    def clear():
-        mxs._build_swt2d_mxu.cache_clear()
-        mxs._build_iswt2d_mxu.cache_clear()
+    clear = mxs.clear_builder_caches
 
     for wname, level in cases:
         fb = get_filter_bank(wname)
