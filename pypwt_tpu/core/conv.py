@@ -257,13 +257,21 @@ def long1d_shape(n: int, min_n: int = 1 << 15, max_cols: int = 8192,
     """
     if n < min_n or n % 2:
         return None
-    # prefer lane-aligned widths (multiples of 128), then any even divisor
-    for c in range(max_cols, 255, -128):
-        if c % 128 == 0 and n % c == 0 and n // c >= min_rows:
-            return n // c, c
-    for c in range(max_cols, 255, -2):
-        if n % c == 0 and n // c >= min_rows:
-            return n // c, c
+    # Prefer foldings with >= 128 rows: the fused kernels' column pass
+    # runs on the TRANSPOSED plane whose lane count is the row-band
+    # size, so fewer than 128 rows forces partial-lane tiles (measured
+    # round 5: deep long-1D levels folded to (64, 8192)/(32, 8192) ran
+    # the whole transform at half/quarter lane utilization).  Within
+    # that, prefer lane-aligned widths (multiples of 128), then any
+    # even divisor; fall back to the shallow-rows folding only when no
+    # >= 128-row divisor exists.
+    for rmin in (128, min_rows):
+        for c in range(max_cols, 255, -128):
+            if c % 128 == 0 and n % c == 0 and n // c >= rmin:
+                return n // c, c
+        for c in range(max_cols, 255, -2):
+            if n % c == 0 and n // c >= rmin:
+                return n // c, c
     return None
 
 

@@ -766,8 +766,11 @@ def _build_swt1d_long_mxu(nr, c, level, flo, fhi, interpret, prec="highest"):
     if bands is None:
         return None
     ib, hh = bands
-    te = _poly_t(level, c, hlen=hlen, prec=prec)
-    span = (hlen - 1) * (t // te)
+    # NO polyphase here: the reshape of the transposed FOLDED plane
+    # fails Mosaic compile on the chip (round-5 probe: sym8/db10 L3
+    # long-SWT MosaicError); the banded form was round-4-proven.
+    te = 1
+    span = (hlen - 1) * t
     b = _pick_b(span, c // te, row_mult=2, k_mult=1)
     if b < 1:
         return None
@@ -835,8 +838,8 @@ def _build_iswt1d_long_mxu(nr, c, level, flo, fhi, interpret, prec="highest"):
     if bands is None:
         return None
     ib, hh = bands
-    te = _poly_t(level, c, hlen=hlen, synthesis=True, prec=prec)
-    span = (hlen - 1) * (t // te)
+    te = 1  # no polyphase on folded planes (MosaicError; see analysis)
+    span = (hlen - 1) * t
     b = _pick_b(span, c // te, row_mult=1, k_mult=2)
     if b < 1:
         return None

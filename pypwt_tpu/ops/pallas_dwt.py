@@ -1996,8 +1996,18 @@ def iswt1d_level_fused(a, d, fb, level):
 # ---------------------------------------------------------------------------
 
 
-def _long_variant():
-    return os.environ.get("PYPWT_LONGFOLD", "scratch")
+def _long_variant(family="dwt"):
+    """Fold-kernel variant, chip-measured per family (round 5,
+    tools/proto_longfold_r5.py): the scratch-ref form wins the
+    DECIMATED fold at every width it covers (db4 L5 roundtrip 424.9 us
+    vs 643.1 plain) while the a-trous fold is faster with the plain
+    value temporaries (db6 SWT L3 1105.9 plain vs 1521.7 scratch;
+    hlen 8 is the lone exception and the margin there is small).
+    PYPWT_LONGFOLD overrides both families (probe knob)."""
+    v = os.environ.get("PYPWT_LONGFOLD", "")
+    if v:
+        return v
+    return "scratch" if family == "dwt" else "plain"
 
 
 def _long_max_body():
@@ -2092,10 +2102,14 @@ def _long1d_bands(nr, c, lp, rp, hlen, n_bufs, max_body=512):
     """(ib, hh) for a folded plane, or None.  Declines multi-row pads
     and the wide-filter x narrow-fold VMEM blowup (transposed planes
     have ib lanes; below 128 Mosaic pads per-tap temporaries to full
-    128-lane tiles — a db8 at 32 folded rows measured 142 MB VMEM)."""
+    128-lane tiles — a db8 at 32 folded rows measured 142 MB VMEM).
+    The raised budget keeps ib = 128 feasible at the widest (8192-col)
+    foldings — the default 30 MB pushed every synthesis geometry to
+    64-lane transposed tiles (round-5 finding)."""
     if max(lp, rp) > c:
         return None
-    bands = _pick_bands(nr, c, 1, 1, n_bufs=n_bufs, max_body=max_body)
+    bands = _pick_bands(nr, c, 1, 1, n_bufs=n_bufs, max_body=max_body,
+                        budget=52 * 1024 * 1024)
     if bands is None:
         return None
     ib, hh = bands
@@ -2303,7 +2317,7 @@ def swt1d_long_fused(x, fb, level, rc):
         return None  # row-roll fast path handles this better
     built = _build_swt1d_long(r, c, level, _taps(fb.dec_lo),
                               _taps(fb.dec_hi), _interpret(),
-                              _long_variant(), _long_max_body())
+                              _long_variant("swt"), _long_max_body())
     if built is None:
         return None
     f, _ = built
@@ -2372,7 +2386,7 @@ def iswt1d_long_fused(a, d, fb, level, rc):
         return None  # row-roll fast path handles this better
     built = _build_iswt1d_long(r, c, level, _taps(fb.rec_lo),
                                _taps(fb.rec_hi), _interpret(),
-                               _long_variant(), _long_max_body())
+                               _long_variant("swt"), _long_max_body())
     if built is None:
         return None
     f, _ = built

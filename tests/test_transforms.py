@@ -322,10 +322,19 @@ def test_long1d_fused_kernels_match_jnp():
         assert bg is not None, wname
         assert float(jnp.abs(bg - bw).max()) < 1e-6, wname
 
-    # wide banks at wide folds must decline -> jnp fallback (a db8 at
-    # 32 folded rows measured 142 MB VMEM on device before this guard)
-    assert pk.dwt1d_long_fused(x, get_filter_bank("db8"), rc) is None
-    assert pk.dwt1d_long_fused(x, get_filter_bank("sym8"), rc) is None
+    # wide banks: the round-5 >=128-row folding keeps them buildable
+    # (the old (8, 8192) fold forced 8-lane transposed tiles and a
+    # 142 MB VMEM blowup that had to decline); they must now build AND
+    # match the jnp fold.  The decline guard still exists for shallow
+    # foldings — pin it directly on a wide narrow-fold geometry.
+    for wname in ("db8", "sym8"):
+        fbw = get_filter_bank(wname)
+        want = conv.analysis_long1d(x, fbw.dec_lo, fbw.dec_hi, rc)
+        got = pk.dwt1d_long_fused(x, fbw, rc)
+        assert got is not None, wname
+        for g, w in zip(got, want):
+            assert float(jnp.abs(g - w).max()) < 1e-6, wname
+    assert pk._long1d_bands(8, 8192, 7, 8, 16, n_bufs=6) is None
 
 
 def test_long1d_swt_deep_dilations():
