@@ -42,7 +42,9 @@ def main():
         except Exception as e:
             return f"ERR:{type(e).__name__}"
 
-    for wname in ("db4", "db6", "sym8", "db10"):
+    names = os.environ.get("PYPWT_PROTO_W",
+                           "db2,db4,db5,db6,sym8,db10").split(",")
+    for wname in names:
         fb = get_filter_bank(wname)
         row = {"wavelet": wname, "hlen": fb.hlen}
         for variant in ("plain", "scratch"):
