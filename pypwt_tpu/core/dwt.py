@@ -84,13 +84,15 @@ def _pallas_enabled():
     return jax.default_backend() == "tpu"
 
 
-# Long-1D folded-plane routing, measured on TPU v5e (4Mi samples, L5
-# DWT / L3 SWT roundtrips, chained; doc/performance.md round-4 table):
-# the VPU fold kernel wins up to hlen 8 (db4 DWT 643.5 us vs 783.6 MXU),
-# ties at 10, and CLIFFS at hlen >= 12 (6.5 ms — per-tap temporaries in
-# the transposed fold blow VMEM and the path degrades), so the banded
-# MXU takes over earlier than in 2D.
-_LONG1D_MXU_MIN_HLEN = 10
+# Long-1D folded-plane routing, re-measured round 5 on TPU v5e (4Mi
+# L5 roundtrips, chained; tools/proto_longfold_r5.py, doc/performance.md
+# round-5 table).  With >= 128-row foldings, the 52 MB band budget and
+# the scratch-ref fold variant, the round-4 hlen >= 12 cliff is GONE
+# and the VPU fold beats the banded MXU at every width it builds
+# (db2 236.0 vs 688.4; sym8 342.4 vs 687.8).  The scratch DWT kernels
+# blow VMEM from hlen ~18-20 (db10 JaxRuntimeError) and the builders
+# decline there, so the MXU takes over only at hlen >= 18.
+_LONG1D_MXU_MIN_HLEN = 18
 
 
 def _mxu_long_wanted(fb):

@@ -45,10 +45,13 @@ def _mx():
 _SWT_MXU_MIN_HLEN = 16
 _SWT_SUPPORT_CLIFF_ANA = 96
 _SWT_SUPPORT_CLIFF_SYN = 40
-# Long-1D folded a-trous: measured at 4Mi/L3 (round-4 table) the VPU
-# fold wins to hlen 10 (db5 753.5 us vs 975.3 MXU), MXU from hlen 12
-# (db6 1036.7 vs 1102.3; db7 1044.6 vs 1241.9; sym8 1045.2 vs 1394.1).
-_SWT_LONG_MXU_MIN_HLEN = 12
+# Long-1D folded a-trous, re-measured round 5 (4Mi/L3 roundtrips,
+# tools/proto_longfold_r5.py): with >= 128-row foldings and the
+# scratch-ref variant the VPU fold wins at EVERY width through db10
+# (hlen 20: 727.5 us vs 1065.2 MXU; sym8 612.9 vs 1054.1), so the MXU
+# only serves untested wider banks (hlen >= 22, where the scratch
+# builders decline rather than risk the VMEM blowup).
+_SWT_LONG_MXU_MIN_HLEN = 22
 
 
 def _mxu_swt_long_wanted(fb):

@@ -2079,6 +2079,19 @@ def _swt_combine_sub_ref(lop_ref, hip_ref, flo, fhi, s, factor, lpad, L):
         out = seg if out is None else out + seg
     return out
 
+def _long_variant_covers(variant, hlen, atrous=False):
+    """Chip-measured width caps per fold variant (round 5,
+    tools/proto_longfold_r5.py): the plain value-temporary fold blows
+    VMEM from hlen ~14-16 (sym8 JaxRuntimeError at the >=128-row
+    foldings), the scratch DWT kernels from ~18-20 (db10), while the
+    scratch a-trous kernels are proven through hlen 20.  Wider
+    geometries must DECLINE here (jnp fold or banded MXU serve them)
+    instead of failing at run time."""
+    if variant == "plain":
+        return hlen < 14
+    return hlen < (22 if atrous else 18)
+
+
 def _fold_pad(top_ref, body_ref, bot_ref, lp, rp):
     """In-VMEM lane pads of a folded long-1D plane: row i's left pad is
     row i-1's tail, right pad row i+1's head; the first/last rows of the
@@ -2143,6 +2156,8 @@ def _build_dwt1d_long(nr, c, lp, rp, flo, fhi, interpret,
                       variant="plain", max_body=512):
     hlen = len(flo)
     if hlen % 2 or c % 2 or (c + lp + rp) % 2:
+        return None
+    if not _long_variant_covers(variant, hlen):
         return None
     bands = _long1d_bands(nr, c, lp, rp, hlen,
                           n_bufs=7 if variant == "scratch" else 6,
@@ -2209,6 +2224,8 @@ def _build_idwt1d_long(nr, c, lp, rp, flo, fhi, interpret,
                        variant="plain", max_body=512):
     hlen = len(flo)
     if hlen % 2:
+        return None
+    if not _long_variant_covers(variant, hlen):
         return None
     bands = _long1d_bands(nr, c, lp, rp, hlen,
                           n_bufs=10 if variant == "scratch" else 8,
@@ -2277,6 +2294,8 @@ def _swt1d_long_kernel_s(flo, fhi, lp, rp, s, factor, c,
 def _build_swt1d_long(nr, c, level, flo, fhi, interpret,
                       variant="plain", max_body=512):
     hlen = len(flo)
+    if not _long_variant_covers(variant, hlen, atrous=True):
+        return None
     lp, rp, s, factor = _swt_pads(hlen, level, inverse=False)
     bands = _long1d_bands(nr, c, lp, rp, hlen,
                           n_bufs=7 if variant == "scratch" else 6,
@@ -2346,6 +2365,8 @@ def _iswt1d_long_kernel_s(flo, fhi, lp, rp, s, factor, c, refs):
 def _build_iswt1d_long(nr, c, level, flo, fhi, interpret,
                        variant="plain", max_body=512):
     hlen = len(flo)
+    if not _long_variant_covers(variant, hlen, atrous=True):
+        return None
     lp, rp, s, factor = _swt_pads(hlen, level, inverse=True)
     bands = _long1d_bands(nr, c, lp, rp, hlen,
                           n_bufs=10 if variant == "scratch" else 8,
