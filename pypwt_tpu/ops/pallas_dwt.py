@@ -262,6 +262,19 @@ def _build_dwt2d(nr, nc, flo, fhi, interpret):
     if bands is None:
         return None
     ib, hh = bands
+    if ib < 1024 and nr % 1024 == 0 and nc >= 4096:
+        # full-width ib=1024 is VMEM-infeasible at this width (the
+        # compiler-verified 142.89M/128M failure at 4096 cols): restore
+        # the 2048-grade band shape by splitting the grid over column
+        # blocks.  Chip-measured (tools/proto_colsplit.py, round 5,
+        # level-0 pair at 4096^2): colsplit ib=1024 cb=2048 665.5 us vs
+        # 701.7 full-width ib=512; the control confirms full width wins
+        # wherever it fits (2048^2: 144.1 vs 156.0), hence the ib<1024
+        # guard.
+        cs = _build_dwt2d_colsplit(nr, nc, flo, fhi, 1024, 2048,
+                                   interpret)
+        if cs is not None:
+            return cs
     tr, tc = ib // 2, nc // 2
     grid = nr // ib
 

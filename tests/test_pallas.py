@@ -87,6 +87,32 @@ def test_colsplit_geometry_gates():
     assert pk._build_dwt2d_colsplit(96, 256, *taps, 64, 128, True) is None
 
 
+def test_wide_image_dispatch_routes_colsplit():
+    """At widths where the full-width ib=1024 band is VMEM-infeasible
+    (nc >= 4096) the analysis dispatch must route through the
+    column-split grid and still match the jnp oracle."""
+    fb = get_filter_bank("db2")
+    from pypwt_tpu.core import conv
+    lp, rp = conv.analysis_pads(fb.hlen)
+    # the branch condition holds: full-width tops out below ib=1024 ...
+    ib, _ = pk._pick_bands(1024, 4096, lp, rp, n_bufs=5, max_body=1024,
+                           budget=52 * 1024 * 1024)
+    assert ib < 1024
+    # ... and the colsplit geometry builds, so dispatch takes it
+    assert pk._build_dwt2d_colsplit(1024, 4096, pk._taps(fb.dec_lo),
+                                    pk._taps(fb.dec_hi), 1024, 2048,
+                                    True) is not None
+    f = pk._build_dwt2d(1024, 4096, pk._taps(fb.dec_lo),
+                        pk._taps(fb.dec_hi), True)
+    assert f is not None
+    x = _rand((1024, 4096))
+    ref = dwt.dwt2d(x, fb)
+    got = pk.dwt2d_fused(x, fb)
+    assert got is not None
+    for g, r in zip(got, ref):
+        assert float(jnp.abs(g - r.astype(jnp.float32)).max()) < 2e-5
+
+
 def test_fallback_on_odd_sizes():
     fb = get_filter_bank("db2")
     assert pk.dwt2d_fused(_rand((63, 128)), fb) is None
