@@ -772,18 +772,20 @@ def idwt2d_fused_unshift(a, h, v, d, fb, out_shape, sr, sc, acc=None,
 # ---------------------------------------------------------------------------
 
 
-def _analysis_cols_dynshift(t, flo, fhi, lpad, rpad, sc, smax):
-    """Column analysis of the column-rolled plane (traced roll +sc,
-    0 <= sc <= smax): the rolled, periodically padded plane is the
-    dynamic window starting at (smax - sc) of the transposed plane
-    over-wrapped by (lpad + smax) top rows."""
-    tt = t.T
+def _analysis_cols_dynshift(t, flo, fhi, lpad, rpad, sc):
+    """Column analysis of the column-rolled plane for a TRACED roll
+    +sc: pltpu.roll (tpu.dynamic_rotate — value dynamic_slice has no
+    Mosaic lowering) rotates the transposed plane, then the periodic
+    pads are the same static slices as the unshifted kernel."""
+    tt = pltpu.roll(t.T, sc, 0)
     n = tt.shape[0]
-    parts = [tt[n - (lpad + smax):, :], tt]
+    parts = []
+    if lpad:
+        parts.append(tt[n - lpad:, :])
+    parts.append(tt)
     if rpad:
         parts.append(tt[:rpad, :])
-    q = jnp.concatenate(parts, axis=0)
-    tp = jax.lax.dynamic_slice_in_dim(q, smax - sc, lpad + n + rpad, 0)
+    tp = jnp.concatenate(parts, axis=0) if len(parts) > 1 else tt
     lo, hi = _analysis_sub(tp, flo, fhi, n // 2)
     return lo.T, hi.T
 
@@ -802,11 +804,14 @@ def _dwt2d_dynshift_kernel(flo, fhi, lpr, rpr, lpc, rpc, ib, hh, smax,
     sc = s_ref[1]
     full = jnp.concatenate([top_ref[:, :], body_ref[:, :],
                             bot_ref[:, :]], axis=0)
-    rows = jax.lax.dynamic_slice_in_dim(
-        full, hh - lpr - sr, lpr + ib + rpr, 0)
+    # want rows[j] = full[hh - lpr - sr + j]: rotate by +sr then slice
+    # at the static unshifted offset (roll(x, s)[i] = x[(i - s) mod n];
+    # indices stay in range because the builder gates sr <= hh - lp)
+    rows = pltpu.roll(full, sr, 0)[hh - lpr: hh - lpr + lpr + ib + rpr,
+                                   :]
     lo_r, hi_r = _analysis_sub(rows, flo, fhi, ib // 2)
-    a, v = _analysis_cols_dynshift(lo_r, flo, fhi, lpc, rpc, sc, smax)
-    h, d = _analysis_cols_dynshift(hi_r, flo, fhi, lpc, rpc, sc, smax)
+    a, v = _analysis_cols_dynshift(lo_r, flo, fhi, lpc, rpc, sc)
+    h, d = _analysis_cols_dynshift(hi_r, flo, fhi, lpc, rpc, sc)
     a_ref[:, :] = a
     h_ref[:, :] = _apply_thresh(h, beta, mode)
     v_ref[:, :] = _apply_thresh(v, beta, mode)
@@ -873,17 +878,15 @@ def dwt2d_fused_dynshift(x, fb, sr, sc, smax, thresh_mode=None,
     return tuple(f(x, sr, sc, beta))
 
 
-def _synthesis_cols_dynunshift(lo, hi, flo, fhi, lpad, rpad, n_out, sc,
-                               smax):
+def _synthesis_cols_dynunshift(lo, hi, flo, fhi, lpad, rpad, n_out,
+                               sc):
     """Column synthesis followed by a traced lane un-roll (out col c
-    reads synthesized col (c + sc) mod n_out): the un-rolled plane is
-    the dynamic window starting at sc of the synthesized transposed
-    plane over-wrapped by smax bottom rows."""
+    reads synthesized col (c + sc) mod n_out — a genuine circular
+    rotate by n_out - sc on the transposed plane)."""
     lop = _pad_lanes_T(lo, lpad, rpad)
     hip = _pad_lanes_T(hi, lpad, rpad)
     syn_t = _synthesis_sub(lop, hip, flo, fhi, n_out // 2, lpad)
-    q = jnp.concatenate([syn_t, syn_t[:smax, :]], axis=0)
-    return jax.lax.dynamic_slice_in_dim(q, sc, n_out, 0).T
+    return pltpu.roll(syn_t, jnp.int32(n_out) - sc, 0).T
 
 
 def _idwt2d_dynshift_kernel(flo, fhi, lpr, rpr, lpc, rpc, tcb, hh,
@@ -900,15 +903,18 @@ def _idwt2d_dynshift_kernel(flo, fhi, lpr, rpr, lpc, rpc, tcb, hh,
     sr = s_ref[0]
     sc = s_ref[1]
     par = sr % 2
-    off = hh + sr // 2 - lpr
     # always compute the odd-parity window length (one extra merged row
     # pair); the parity then selects the aligned 2*tcb-row window
     lout = tcb + 1
+    nfull = 2 * hh + tcb
 
     def window(t, b, bo):
         full = jnp.concatenate([t[:, :], b[:, :], bo[:, :]], axis=0)
-        return jax.lax.dynamic_slice_in_dim(full, off,
-                                            lpr + lout + rpr, 0)
+        # want win[j] = full[hh + sr//2 - lpr + j]: rotate so the
+        # traced offset lands at the static unshifted position
+        # (builder gates smax//2 + 1 + rp <= hh, so no wraparound)
+        rot = pltpu.roll(full, jnp.int32(nfull) - sr // 2, 0)
+        return rot[hh - lpr: hh - lpr + lpr + lout + rpr, :]
 
     ar = window(a_top, a_body, a_bot)
     hr = window(h_top, h_body, h_bot)
@@ -916,10 +922,11 @@ def _idwt2d_dynshift_kernel(flo, fhi, lpr, rpr, lpc, rpc, tcb, hh,
     dr = window(d_top, d_body, d_bot)
     t1 = _synthesis_sub(ar, hr, flo, fhi, lout, lpr)
     t2 = _synthesis_sub(vr, dr, flo, fhi, lout, lpr)
-    t1 = jax.lax.dynamic_slice_in_dim(t1, par, 2 * tcb, 0)
-    t2 = jax.lax.dynamic_slice_in_dim(t2, par, 2 * tcb, 0)
+    # parity selection: rotate the 2(tcb+1)-row plane up by par rows
+    t1 = pltpu.roll(t1, jnp.int32(2 * lout) - par, 0)[:2 * tcb, :]
+    t2 = pltpu.roll(t2, jnp.int32(2 * lout) - par, 0)[:2 * tcb, :]
     rec = _synthesis_cols_dynunshift(t1, t2, flo, fhi, lpc, rpc, nc_out,
-                                     sc, smax)
+                                     sc)
     out = rec if acc_ref is None else acc_ref[:, :] + rec
     out_ref[:, :] = out if scale == 1.0 else out * scale
 
