@@ -922,9 +922,23 @@ def _idwt2d_dynshift_kernel(flo, fhi, lpr, rpr, lpc, rpc, tcb, hh,
     dr = window(d_top, d_body, d_bot)
     t1 = _synthesis_sub(ar, hr, flo, fhi, lout, lpr)
     t2 = _synthesis_sub(vr, dr, flo, fhi, lout, lpr)
-    # parity selection: rotate the 2(tcb+1)-row plane up by par rows
-    t1 = pltpu.roll(t1, jnp.int32(2 * lout) - par, 0)[:2 * tcb, :]
-    t2 = pltpu.roll(t2, jnp.int32(2 * lout) - par, 0)[:2 * tcb, :]
+
+    # parity selection: rotate the 2(tcb+1)-row plane up by par rows.
+    # tpu.dynamic_rotate wants sublane-aligned shapes ("unsupported
+    # unaligned shape" for 2(tcb+1) rows on the chip), so pad to the
+    # next 8-row multiple with rows that are never read (j + par stays
+    # under 2*lout for every selected row).
+    zpad = (-2 * lout) % 8
+
+    def _par_select(t):
+        if zpad:
+            t = jnp.concatenate(
+                [t, jnp.zeros((zpad, t.shape[1]), t.dtype)], axis=0)
+        return pltpu.roll(t, jnp.int32(t.shape[0]) - par,
+                          0)[:2 * tcb, :]
+
+    t1 = _par_select(t1)
+    t2 = _par_select(t2)
     rec = _synthesis_cols_dynunshift(t1, t2, flo, fhi, lpc, rpc, nc_out,
                                      sc)
     out = rec if acc_ref is None else acc_ref[:, :] + rec
