@@ -397,15 +397,18 @@ def test_swt_dispatch_crossover_table():
 
 def test_long1d_dispatch_crossover():
     """Pin the long-1D routing (4Mi-sample chained measurements,
-    doc/performance.md round-4 table): DWT long routes MXU from
-    hlen>=10, SWT long from hlen>=12; the 2D rules are unchanged."""
+    doc/performance.md round-5 table): the VPU scratch fold wins at
+    every width it builds, so the MXU only serves the widths where the
+    fold kernels would blow VMEM and decline — DWT long from hlen>=18,
+    SWT long from hlen>=22."""
     from pypwt_tpu.core.dwt import _mxu_long_wanted
     from pypwt_tpu.core.swt import _mxu_swt_long_wanted
 
     for wname, dwt_mxu, swt_mxu in [
             ("db2", False, False), ("db4", False, False),
-            ("db5", True, False), ("db6", True, True),
-            ("sym8", True, True), ("db10", True, True)]:
+            ("db5", False, False), ("db6", False, False),
+            ("sym8", False, False), ("db9", True, False),
+            ("db10", True, False), ("db12", True, True)]:
         fb = get_filter_bank(wname)
         assert _mxu_long_wanted(fb) == dwt_mxu, wname
         assert _mxu_swt_long_wanted(fb) == swt_mxu, wname
