@@ -772,20 +772,22 @@ def idwt2d_fused_unshift(a, h, v, d, fb, out_shape, sr, sc, acc=None,
 # ---------------------------------------------------------------------------
 
 
-def _analysis_cols_dynshift(t, flo, fhi, lpad, rpad, sc):
+def _analysis_cols_dynshift(t, flo, fhi, lpad, rpad, sc, smax, q_ref):
     """Column analysis of the column-rolled plane for a TRACED roll
-    +sc: pltpu.roll (tpu.dynamic_rotate — value dynamic_slice has no
-    Mosaic lowering) rotates the transposed plane, then the periodic
-    pads are the same static slices as the unshifted kernel."""
-    tt = pltpu.roll(t.T, sc, 0)
+    +sc in [0, smax]: the transposed plane, over-wrapped by
+    (lpad + smax) top rows, is staged in a VMEM scratch ref so the
+    rolled+padded window is a cheap dynamic-START ref read
+    (q_ref[pl.ds(smax - sc)]) — sublane addressing, no
+    tpu.dynamic_rotate shuffles (measured ~137 us/spin of rotate
+    overhead at 2048^2) and no value dynamic_slice (no Mosaic
+    lowering)."""
+    tt = t.T
     n = tt.shape[0]
-    parts = []
-    if lpad:
-        parts.append(tt[n - lpad:, :])
-    parts.append(tt)
+    parts = [tt[n - (lpad + smax):, :], tt]
     if rpad:
         parts.append(tt[:rpad, :])
-    tp = jnp.concatenate(parts, axis=0) if len(parts) > 1 else tt
+    q_ref[:, :] = jnp.concatenate(parts, axis=0)
+    tp = q_ref[pl.ds(smax - sc, lpad + n + rpad), :]
     lo, hi = _analysis_sub(tp, flo, fhi, n // 2)
     return lo.T, hi.T
 
@@ -794,24 +796,24 @@ def _dwt2d_dynshift_kernel(flo, fhi, lpr, rpr, lpc, rpc, ib, hh, smax,
                            mode, refs):
     if mode is None:
         (top_ref, body_ref, bot_ref, s_ref,
-         a_ref, h_ref, v_ref, d_ref) = refs
+         a_ref, h_ref, v_ref, d_ref, full_s, q_s) = refs
         beta = None
     else:
         (top_ref, body_ref, bot_ref, s_ref, beta_ref,
-         a_ref, h_ref, v_ref, d_ref) = refs
+         a_ref, h_ref, v_ref, d_ref, full_s, q_s) = refs
         beta = beta_ref[0, 0]
     sr = s_ref[0]
     sc = s_ref[1]
-    full = jnp.concatenate([top_ref[:, :], body_ref[:, :],
-                            bot_ref[:, :]], axis=0)
-    # want rows[j] = full[hh - lpr - sr + j]: rotate by +sr then slice
-    # at the static unshifted offset (roll(x, s)[i] = x[(i - s) mod n];
-    # indices stay in range because the builder gates sr <= hh - lp)
-    rows = pltpu.roll(full, sr, 0)[hh - lpr: hh - lpr + lpr + ib + rpr,
-                                   :]
+    full_s[:, :] = jnp.concatenate([top_ref[:, :], body_ref[:, :],
+                                    bot_ref[:, :]], axis=0)
+    # rows[j] = full[hh - lpr - sr + j]: a dynamic-start ref read (the
+    # builder gates sr <= hh - lp so the window stays inside the halos)
+    rows = full_s[pl.ds(hh - lpr - sr, lpr + ib + rpr), :]
     lo_r, hi_r = _analysis_sub(rows, flo, fhi, ib // 2)
-    a, v = _analysis_cols_dynshift(lo_r, flo, fhi, lpc, rpc, sc)
-    h, d = _analysis_cols_dynshift(hi_r, flo, fhi, lpc, rpc, sc)
+    a, v = _analysis_cols_dynshift(lo_r, flo, fhi, lpc, rpc, sc, smax,
+                                   q_s)
+    h, d = _analysis_cols_dynshift(hi_r, flo, fhi, lpc, rpc, sc, smax,
+                                   q_s)
     a_ref[:, :] = a
     h_ref[:, :] = _apply_thresh(h, beta, mode)
     v_ref[:, :] = _apply_thresh(v, beta, mode)
@@ -844,9 +846,12 @@ def _build_dwt2d_dynshift(nr, nc, flo, fhi, smax, mode, interpret):
     out_sds = jax.ShapeDtypeStruct((nr // 2, nc // 2), jnp.float32)
     kern = functools.partial(_dwt2d_dynshift_kernel, flo, fhi, lp, rp,
                              lp, rp, ib, hh, smax, mode)
+    scratch = [pltpu.VMEM((2 * hh + ib, nc), jnp.float32),
+               pltpu.VMEM((lp + smax + nc + rp, ib // 2), jnp.float32)]
     call = pl.pallas_call(
         lambda *refs: kern(refs), grid=(nr // ib,), in_specs=in_specs,
         out_specs=[out_spec] * 4, out_shape=[out_sds] * 4,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret)
@@ -879,14 +884,17 @@ def dwt2d_fused_dynshift(x, fb, sr, sc, smax, thresh_mode=None,
 
 
 def _synthesis_cols_dynunshift(lo, hi, flo, fhi, lpad, rpad, n_out,
-                               sc):
+                               sc, smax, q_ref):
     """Column synthesis followed by a traced lane un-roll (out col c
-    reads synthesized col (c + sc) mod n_out — a genuine circular
-    rotate by n_out - sc on the transposed plane)."""
+    reads synthesized col (c + sc) mod n_out): the synthesized
+    transposed plane, over-wrapped by smax bottom rows, is staged in a
+    VMEM scratch ref and the un-rolled plane is the dynamic-start
+    window q_ref[pl.ds(sc)]."""
     lop = _pad_lanes_T(lo, lpad, rpad)
     hip = _pad_lanes_T(hi, lpad, rpad)
     syn_t = _synthesis_sub(lop, hip, flo, fhi, n_out // 2, lpad)
-    return pltpu.roll(syn_t, jnp.int32(n_out) - sc, 0).T
+    q_ref[:, :] = jnp.concatenate([syn_t, syn_t[:smax, :]], axis=0)
+    return q_ref[pl.ds(sc, n_out), :].T
 
 
 def _idwt2d_dynshift_kernel(flo, fhi, lpr, rpr, lpc, rpc, tcb, hh,
@@ -894,11 +902,11 @@ def _idwt2d_dynshift_kernel(flo, fhi, lpr, rpr, lpc, rpc, tcb, hh,
     if accumulate:
         (a_top, a_body, a_bot, h_top, h_body, h_bot,
          v_top, v_body, v_bot, d_top, d_body, d_bot, s_ref, acc_ref,
-         out_ref) = refs
+         out_ref, win_s, t1_s, t2_s, q_s) = refs
     else:
         (a_top, a_body, a_bot, h_top, h_body, h_bot,
          v_top, v_body, v_bot, d_top, d_body, d_bot, s_ref,
-         out_ref) = refs
+         out_ref, win_s, t1_s, t2_s, q_s) = refs
         acc_ref = None
     sr = s_ref[0]
     sc = s_ref[1]
@@ -906,41 +914,26 @@ def _idwt2d_dynshift_kernel(flo, fhi, lpr, rpr, lpc, rpc, tcb, hh,
     # always compute the odd-parity window length (one extra merged row
     # pair); the parity then selects the aligned 2*tcb-row window
     lout = tcb + 1
-    nfull = 2 * hh + tcb
 
     def window(t, b, bo):
-        full = jnp.concatenate([t[:, :], b[:, :], bo[:, :]], axis=0)
-        # want win[j] = full[hh + sr//2 - lpr + j]: rotate so the
-        # traced offset lands at the static unshifted position
-        # (builder gates smax//2 + 1 + rp <= hh, so no wraparound)
-        rot = pltpu.roll(full, jnp.int32(nfull) - sr // 2, 0)
-        return rot[hh - lpr: hh - lpr + lpr + lout + rpr, :]
+        # win[j] = full[hh + sr//2 - lpr + j]: one shared scratch ref,
+        # dynamic-start read (the read-out VALUE survives the next
+        # overwrite; builder gates smax//2 + 1 + rp <= hh)
+        win_s[:, :] = jnp.concatenate([t[:, :], b[:, :], bo[:, :]],
+                                      axis=0)
+        return win_s[pl.ds(hh + sr // 2 - lpr, lpr + lout + rpr), :]
 
     ar = window(a_top, a_body, a_bot)
     hr = window(h_top, h_body, h_bot)
     vr = window(v_top, v_body, v_bot)
     dr = window(d_top, d_body, d_bot)
-    t1 = _synthesis_sub(ar, hr, flo, fhi, lout, lpr)
-    t2 = _synthesis_sub(vr, dr, flo, fhi, lout, lpr)
-
-    # parity selection: rotate the 2(tcb+1)-row plane up by par rows.
-    # tpu.dynamic_rotate wants sublane-aligned shapes ("unsupported
-    # unaligned shape" for 2(tcb+1) rows on the chip), so pad to the
-    # next 8-row multiple with rows that are never read (j + par stays
-    # under 2*lout for every selected row).
-    zpad = (-2 * lout) % 8
-
-    def _par_select(t):
-        if zpad:
-            t = jnp.concatenate(
-                [t, jnp.zeros((zpad, t.shape[1]), t.dtype)], axis=0)
-        return pltpu.roll(t, jnp.int32(t.shape[0]) - par,
-                          0)[:2 * tcb, :]
-
-    t1 = _par_select(t1)
-    t2 = _par_select(t2)
+    t1_s[:, :] = _synthesis_sub(ar, hr, flo, fhi, lout, lpr)
+    t2_s[:, :] = _synthesis_sub(vr, dr, flo, fhi, lout, lpr)
+    # parity selection: dynamic-start read of the staged merged planes
+    t1 = t1_s[pl.ds(par, 2 * tcb), :]
+    t2 = t2_s[pl.ds(par, 2 * tcb), :]
     rec = _synthesis_cols_dynunshift(t1, t2, flo, fhi, lpc, rpc, nc_out,
-                                     sc)
+                                     sc, smax, q_s)
     out = rec if acc_ref is None else acc_ref[:, :] + rec
     out_ref[:, :] = out if scale == 1.0 else out * scale
 
@@ -974,10 +967,15 @@ def _build_idwt2d_dynshift(nr_out, nc_out, flo, fhi, smax, accumulate,
     kern = functools.partial(_idwt2d_dynshift_kernel, flo, fhi, lp, rp,
                              lpc, rpc, tcb, hh, nc_out, smax,
                              accumulate, scale)
+    scratch = [pltpu.VMEM((2 * hh + tcb, w), jnp.float32),
+               pltpu.VMEM((2 * (tcb + 1), w), jnp.float32),
+               pltpu.VMEM((2 * (tcb + 1), w), jnp.float32),
+               pltpu.VMEM((nc_out + smax, 2 * tcb), jnp.float32)]
     call = pl.pallas_call(
         lambda *refs: kern(refs), grid=(lrows // tcb,),
         in_specs=in_specs,
         out_specs=out_spec, out_shape=out_sds,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret)
