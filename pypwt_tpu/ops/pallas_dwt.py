@@ -756,6 +756,81 @@ def idwt2d_fused_unshift(a, h, v, d, fb, out_shape, sr, sc, acc=None,
 
 
 # ---------------------------------------------------------------------------
+# Phase-switch fused levels: RANDOM-mode cycle spinning with ZERO dynamic
+# data movement.  A periodized decimating level satisfies, exactly,
+#
+#     A(roll(x, s)) = roll(A(roll(x, s % 2)), s // 2)
+#
+# (split s = 2q + p inside the convolution sum), so a traced shift
+# factorizes through the pyramid: level l only needs the PHASE BITS
+# ((s >> l) % 2) of each axis, a 4-way lax.switch over the four
+# STATIC-phase kernels, and the residual roll propagates to the next
+# level until it vanishes after L levels (s < 2^L).  Detail planes stay
+# in residual-rolled coordinates — harmless, because thresholding is
+# pointwise and the matching phase-synthesis switches invert level by
+# level to the exactly-unrolled image.  Unlike the dynamic-slice /
+# dynamic-rotate formulations (Mosaic: no value dynamic_slice; ~137
+# us/spin of rotate shuffles; sub-vreg ref starts unprovable), every
+# kernel here is one of the measured static-shift kernels.
+# ---------------------------------------------------------------------------
+
+
+def dwt2d_fused_phase_switch(x, fb, idx, thresh_mode=None, beta=None):
+    """One fused analysis level of roll(x, (pr, pc)) for TRACED phase
+    bits packed as idx = pr * 2 + pc: lax.switch over the four
+    static-phase kernels.  None if any phase kernel is uncovered."""
+    if x.ndim != 2 or x.dtype != jnp.float32:
+        return None
+    fns = []
+    for pr in (0, 1):
+        for pc in (0, 1):
+            f = _build_dwt2d_shifted(x.shape[0], x.shape[1],
+                                     _taps(fb.dec_lo), _taps(fb.dec_hi),
+                                     pr, pc, thresh_mode, _interpret())
+            if f is None:
+                return None
+            fns.append(f)
+    if thresh_mode is None:
+        return tuple(jax.lax.switch(
+            idx, [lambda v, f=f: tuple(f(v)) for f in fns], x))
+    b = jnp.asarray(beta, jnp.float32)
+    return tuple(jax.lax.switch(
+        idx, [lambda v, bb, f=f: tuple(f(v, bb)) for f in fns], x, b))
+
+
+def idwt2d_fused_phase_switch(a, h, v, d, fb, out_shape, idx, acc=None,
+                              scale=1.0):
+    """One fused synthesis level un-rolling TRACED phase bits
+    idx = pr * 2 + pc via lax.switch over the four static-phase
+    kernels; acc/scale fuse into the store as in
+    idwt2d_fused_unshift.  None if any phase kernel is uncovered."""
+    nr, nc = out_shape[-2], out_shape[-1]
+    if a.ndim != 2 or a.dtype != jnp.float32:
+        return None
+    if (nr, nc) != (2 * a.shape[-2], 2 * a.shape[-1]):
+        return None
+    if not (a.shape == h.shape == v.shape == d.shape):
+        return None
+    fns = []
+    for pr in (0, 1):
+        for pc in (0, 1):
+            f = _build_idwt2d_shifted(nr, nc, _taps(fb.rec_lo),
+                                      _taps(fb.rec_hi), pr, pc,
+                                      acc is not None, float(scale),
+                                      _interpret())
+            if f is None:
+                return None
+            fns.append(f)
+    if acc is None:
+        return jax.lax.switch(
+            idx, [lambda a_, h_, v_, d_, f=f: f(a_, h_, v_, d_)
+                  for f in fns], a, h, v, d)
+    return jax.lax.switch(
+        idx, [lambda a_, h_, v_, d_, ac, f=f: f(a_, h_, v_, d_, ac)
+              for f in fns], a, h, v, d, acc)
+
+
+# ---------------------------------------------------------------------------
 # Dynamically-shifted fused levels: RANDOM-mode cycle spinning at the
 # static-mode price (VERDICT r4 next #5).  The reference's default
 # cycle-spinning mode draws shifts at runtime (wt.cu:242-246), which the

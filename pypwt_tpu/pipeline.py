@@ -190,26 +190,56 @@ def denoise2d_cycle_spinning(img, wname, levels, beta, key=None,
         raise ValueError("pass either a random key or static shifts")
 
     def spin_dynamic(sr, sc, acc, scale=1.0):
-        """One spin with a TRACED shift folded into the level-0 kernels
-        (the random-mode analog of spin_static): shifts are already
-        reduced mod 2^levels — exact, because the periodized pyramid
-        commutes with 2^L translations and thresholding is pointwise —
-        and ride the halo blocks as SMEM-fed dynamic slices at zero
-        extra HBM traffic.  None if the kernels decline."""
+        """One spin with a TRACED shift (already reduced mod 2^levels,
+        which is exact): the shift factorizes through the pyramid as
+        per-level PHASE BITS — A(roll(x, s)) = roll(A(roll(x, s%2)),
+        s//2) — so every level is a 4-way lax.switch over the measured
+        static-phase kernels and no dynamic data movement exists
+        anywhere.  Detail planes live in residual-rolled coordinates
+        (thresholding is pointwise, so this is invisible); the matching
+        phase-synthesis switches reconstruct the exactly-unrolled
+        image, with the spin accumulator and averaging scale fused into
+        the level-0 store.  None if any phase kernel is uncovered."""
         if not _fused_ok():
             return None
         from .ops import pallas_dwt as pk
-        smax = (1 << levels) - 1
         mode = "hard" if hard else "soft"
-        c0 = pk.dwt2d_fused_dynshift(img, fb, sr, sc, smax,
-                                     thresh_mode=mode, beta=_b1)
-        if c0 is None:
-            return None
-        a, h0, v0, d0 = c0
-        a = _sub_pyramid(a)
-        return pk.idwt2d_fused_dynunshift(a, h0, v0, d0, fb, img.shape,
-                                          sr, sc, smax,
-                                          acc=acc, scale=scale)
+
+        def phase_idx(l):
+            return (((sr // (1 << l)) % 2) * 2
+                    + ((sc // (1 << l)) % 2)).astype(jnp.int32)
+
+        sizes = [img.shape[-2:]]
+        planes = []
+        a = img
+        for l in range(levels):
+            if l == 0:
+                c = pk.dwt2d_fused_phase_switch(img, fb, phase_idx(0),
+                                                thresh_mode=mode,
+                                                beta=_b1)
+            else:
+                c = pk.dwt2d_fused_phase_switch(a, fb, phase_idx(l))
+            if c is None:
+                return None
+            a, hh, vv, dd = c
+            planes.append((hh, vv, dd))
+            sizes.append((div2(sizes[-1][0]), div2(sizes[-1][1])))
+        # threshold the level 2..L sub-pyramid (level-0 details were
+        # thresholded in-kernel; beta/sqrt2 aligns the schedule)
+        sub = th([a] + planes[1:],
+                 beta / _sqrt2 if normalize else beta,
+                 bool(threshold_appcoeffs), bool(normalize))
+        a = sub[0]
+        for l in range(levels - 1, 0, -1):
+            hh, vv, dd = sub[l]
+            a = pk.idwt2d_fused_phase_switch(a, hh, vv, dd, fb,
+                                             sizes[l], phase_idx(l))
+            if a is None:
+                return None
+        h0, v0, d0 = planes[0]
+        return pk.idwt2d_fused_phase_switch(a, h0, v0, d0, fb,
+                                            img.shape, phase_idx(0),
+                                            acc=acc, scale=scale)
 
     keys = jax.random.split(key, n_spins)
 

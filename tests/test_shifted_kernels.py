@@ -218,6 +218,27 @@ def test_dynshift_roundtrip_thresh_and_acc():
                                atol=3e-5)
 
 
+@pytest.mark.parametrize("idx", [0, 1, 2, 3])
+def test_phase_switch_matches_static(idx):
+    """The 4-way phase switch (traced phase bits) must equal the static
+    kernel it selects, for analysis and unshifting synthesis."""
+    fb = get_filter_bank("db2")
+    x = _f32((128, 128))
+    pr, pc = idx // 2, idx % 2
+    got = pk.dwt2d_fused_phase_switch(x, fb, jnp.int32(idx))
+    assert got is not None
+    ref = pk.dwt2d_fused_shifted(x, fb, pr, pc)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=1e-6)
+    a, h, v, d = (_f32((64, 64)) for _ in range(4))
+    gy = pk.idwt2d_fused_phase_switch(a, h, v, d, fb, (128, 128),
+                                      jnp.int32(idx))
+    ry = pk.idwt2d_fused_unshift(a, h, v, d, fb, (128, 128), pr, pc)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(ry),
+                               atol=1e-6)
+
+
 def test_random_pipeline_matches_roll_path():
     """Random-mode cycle spinning through the fused dynamic-shift
     kernels must equal the roll-based scan path for the same key — the
