@@ -775,35 +775,194 @@ def idwt2d_fused_unshift(a, h, v, d, fb, out_shape, sr, sc, acc=None,
 # ---------------------------------------------------------------------------
 
 
+def _dwt2d_phasesel_kernel(flo, fhi, lp, rp, ib, hh, mode, refs):
+    if mode is None:
+        (top_ref, body_ref, bot_ref, s_ref,
+         a_ref, h_ref, v_ref, d_ref) = refs
+        beta = None
+    else:
+        (top_ref, body_ref, bot_ref, s_ref, beta_ref,
+         a_ref, h_ref, v_ref, d_ref) = refs
+        beta = beta_ref[0, 0]
+    pr = s_ref[0]
+    pc = s_ref[1]
+    full = jnp.concatenate([top_ref[:, :], body_ref[:, :],
+                            bot_ref[:, :]], axis=0)
+    L = lp + ib + rp
+    # row phase: in-VMEM select between the two static windows (the
+    # whole point vs lax.switch: no XLA conditional, no dynamic op)
+    rows = jnp.where(pr == 1, full[hh - lp - 1: hh - lp - 1 + L, :],
+                     full[hh - lp: hh - lp + L, :])
+    lo_r, hi_r = _analysis_sub(rows, flo, fhi, ib // 2)
+
+    def cols(t):
+        tt = t.T
+        n = tt.shape[0]
+        q = jnp.concatenate([tt[n - lp - 1:, :], tt, tt[:rp, :]],
+                            axis=0)
+        tp = jnp.where(pc == 1, q[0: lp + n + rp, :],
+                       q[1: 1 + lp + n + rp, :])
+        lo, hi = _analysis_sub(tp, flo, fhi, n // 2)
+        return lo.T, hi.T
+
+    a, v = cols(lo_r)
+    h, d = cols(hi_r)
+    a_ref[:, :] = a
+    h_ref[:, :] = _apply_thresh(h, beta, mode)
+    v_ref[:, :] = _apply_thresh(v, beta, mode)
+    d_ref[:, :] = _apply_thresh(d, beta, mode)
+
+
+@functools.lru_cache(maxsize=512)
+def _build_dwt2d_phasesel(nr, nc, flo, fhi, mode, interpret):
+    hlen = len(flo)
+    if hlen % 2 or nr % 2 or nc % 2:
+        return None
+    lp, rp = conv.analysis_pads(hlen)
+    bands = _pick_bands(nr, nc, lp + 1, rp, n_bufs=5, max_body=1024,
+                        budget=52 * 1024 * 1024)
+    if bands is None:
+        return None
+    ib, hh = bands
+    if lp + 1 > hh or lp + 1 > nc:
+        return None
+    top, body, bot = _halo_specs(ib, hh, nr, nc)
+    in_specs = [top, body, bot,
+                pl.BlockSpec((2,), lambda i: (0,),
+                             memory_space=pltpu.SMEM)]
+    if mode is not None:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.SMEM))
+    out_spec = pl.BlockSpec((ib // 2, nc // 2), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr // 2, nc // 2), jnp.float32)
+    kern = functools.partial(_dwt2d_phasesel_kernel, flo, fhi, lp, rp,
+                             ib, hh, mode)
+    call = pl.pallas_call(
+        lambda *refs: kern(refs), grid=(nr // ib,), in_specs=in_specs,
+        out_specs=[out_spec] * 4, out_shape=[out_sds] * 4,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+    def wrap(x, idx, beta=None):
+        sv = jnp.stack([jnp.asarray(idx // 2, jnp.int32),
+                        jnp.asarray(idx % 2, jnp.int32)])
+        if mode is None:
+            return call(x, x, x, sv)
+        return call(x, x, x, sv,
+                    jnp.reshape(jnp.asarray(beta, jnp.float32), (1, 1)))
+
+    return wrap
+
+
 def dwt2d_fused_phase_switch(x, fb, idx, thresh_mode=None, beta=None):
     """One fused analysis level of roll(x, (pr, pc)) for TRACED phase
-    bits packed as idx = pr * 2 + pc: lax.switch over the four
-    static-phase kernels.  None if any phase kernel is uncovered."""
+    bits packed as idx = pr * 2 + pc: ONE kernel whose row/column
+    windows are in-VMEM selects between the two static positions per
+    axis (lax.switch over four kernels measured ~22 us of conditional
+    overhead per level).  None if uncovered."""
     if x.ndim != 2 or x.dtype != jnp.float32:
         return None
-    fns = []
-    for pr in (0, 1):
-        for pc in (0, 1):
-            f = _build_dwt2d_shifted(x.shape[0], x.shape[1],
-                                     _taps(fb.dec_lo), _taps(fb.dec_hi),
-                                     pr, pc, thresh_mode, _interpret())
-            if f is None:
-                return None
-            fns.append(f)
-    if thresh_mode is None:
-        return tuple(jax.lax.switch(
-            idx, [lambda v, f=f: tuple(f(v)) for f in fns], x))
-    b = jnp.asarray(beta, jnp.float32)
-    return tuple(jax.lax.switch(
-        idx, [lambda v, bb, f=f: tuple(f(v, bb)) for f in fns], x, b))
+    f = _build_dwt2d_phasesel(x.shape[0], x.shape[1],
+                              _taps(fb.dec_lo), _taps(fb.dec_hi),
+                              thresh_mode, _interpret())
+    if f is None:
+        return None
+    return tuple(f(x, idx, beta))
+
+
+def _idwt2d_phasesel_kernel(flo, fhi, lpr, rpr, lpc, rpc, tcb, hh,
+                            nc_out, accumulate, scale, refs):
+    if accumulate:
+        (a_top, a_body, a_bot, h_top, h_body, h_bot,
+         v_top, v_body, v_bot, d_top, d_body, d_bot, s_ref, acc_ref,
+         out_ref) = refs
+    else:
+        (a_top, a_body, a_bot, h_top, h_body, h_bot,
+         v_top, v_body, v_bot, d_top, d_body, d_bot, s_ref,
+         out_ref) = refs
+        acc_ref = None
+    pr = s_ref[0]
+    pc = s_ref[1]
+    lout = tcb + 1
+
+    def window(t, b, bo):
+        full = jnp.concatenate([t[:, :], b[:, :], bo[:, :]], axis=0)
+        return full[hh - lpr: hh - lpr + lpr + lout + rpr, :]
+
+    ar = window(a_top, a_body, a_bot)
+    hr = window(h_top, h_body, h_bot)
+    vr = window(v_top, v_body, v_bot)
+    dr = window(d_top, d_body, d_bot)
+    t1f = _synthesis_sub(ar, hr, flo, fhi, lout, lpr)
+    t2f = _synthesis_sub(vr, dr, flo, fhi, lout, lpr)
+    # row parity: select between the two static 2*tcb-row windows
+    t1 = jnp.where(pr == 1, t1f[1: 1 + 2 * tcb, :],
+                   t1f[0: 2 * tcb, :])
+    t2 = jnp.where(pr == 1, t2f[1: 1 + 2 * tcb, :],
+                   t2f[0: 2 * tcb, :])
+    lop = _pad_lanes_T(t1, lpc, rpc)
+    hip = _pad_lanes_T(t2, lpc, rpc)
+    syn_t = _synthesis_sub(lop, hip, flo, fhi, nc_out // 2, lpc)
+    # column parity: unroll by one row of the transposed plane
+    u1 = jnp.concatenate([syn_t[1:, :], syn_t[:1, :]], axis=0)
+    rec = jnp.where(pc == 1, u1, syn_t).T
+    out = rec if acc_ref is None else acc_ref[:, :] + rec
+    out_ref[:, :] = out if scale == 1.0 else out * scale
+
+
+@functools.lru_cache(maxsize=512)
+def _build_idwt2d_phasesel(nr_out, nc_out, flo, fhi, accumulate, scale,
+                           interpret):
+    hlen = len(flo)
+    if hlen % 2 or nr_out % 2 or nc_out % 2:
+        return None
+    lrows = nr_out // 2
+    w = nc_out // 2
+    lp, rp = conv.synthesis_pads(hlen, lrows, nr_out)
+    lpc, rpc = conv.synthesis_pads(hlen, w, nc_out)
+    bands = _pick_bands(lrows, w, lp, rp + 1, n_bufs=14, max_body=128)
+    if bands is None:
+        return None
+    tcb, hh = bands
+    if rp + 1 > hh or lp > hh:
+        return None
+    top, body, bot = _halo_specs(tcb, hh, lrows, w)
+    out_spec = pl.BlockSpec((2 * tcb, nc_out), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nr_out, nc_out), jnp.float32)
+    in_specs = [top, body, bot] * 4
+    in_specs.append(pl.BlockSpec((2,), lambda i: (0,),
+                                 memory_space=pltpu.SMEM))
+    if accumulate:
+        in_specs.append(out_spec)
+    kern = functools.partial(_idwt2d_phasesel_kernel, flo, fhi, lp, rp,
+                             lpc, rpc, tcb, hh, nc_out, accumulate,
+                             scale)
+    call = pl.pallas_call(
+        lambda *refs: kern(refs), grid=(lrows // tcb,),
+        in_specs=in_specs,
+        out_specs=out_spec, out_shape=out_sds,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret)
+
+    def wrap(a, h, v, d, idx, acc=None):
+        sv = jnp.stack([jnp.asarray(idx // 2, jnp.int32),
+                        jnp.asarray(idx % 2, jnp.int32)])
+        if accumulate:
+            return call(a, a, a, h, h, h, v, v, v, d, d, d, sv, acc)
+        return call(a, a, a, h, h, h, v, v, v, d, d, d, sv)
+
+    return wrap
 
 
 def idwt2d_fused_phase_switch(a, h, v, d, fb, out_shape, idx, acc=None,
                               scale=1.0):
     """One fused synthesis level un-rolling TRACED phase bits
-    idx = pr * 2 + pc via lax.switch over the four static-phase
-    kernels; acc/scale fuse into the store as in
-    idwt2d_fused_unshift.  None if any phase kernel is uncovered."""
+    idx = pr * 2 + pc with in-kernel parity selects; acc/scale fuse
+    into the store as in idwt2d_fused_unshift.  None if uncovered."""
     nr, nc = out_shape[-2], out_shape[-1]
     if a.ndim != 2 or a.dtype != jnp.float32:
         return None
@@ -811,23 +970,12 @@ def idwt2d_fused_phase_switch(a, h, v, d, fb, out_shape, idx, acc=None,
         return None
     if not (a.shape == h.shape == v.shape == d.shape):
         return None
-    fns = []
-    for pr in (0, 1):
-        for pc in (0, 1):
-            f = _build_idwt2d_shifted(nr, nc, _taps(fb.rec_lo),
-                                      _taps(fb.rec_hi), pr, pc,
-                                      acc is not None, float(scale),
-                                      _interpret())
-            if f is None:
-                return None
-            fns.append(f)
-    if acc is None:
-        return jax.lax.switch(
-            idx, [lambda a_, h_, v_, d_, f=f: f(a_, h_, v_, d_)
-                  for f in fns], a, h, v, d)
-    return jax.lax.switch(
-        idx, [lambda a_, h_, v_, d_, ac, f=f: f(a_, h_, v_, d_, ac)
-              for f in fns], a, h, v, d, acc)
+    f = _build_idwt2d_phasesel(nr, nc, _taps(fb.rec_lo),
+                               _taps(fb.rec_hi), acc is not None,
+                               float(scale), _interpret())
+    if f is None:
+        return None
+    return f(a, h, v, d, idx, acc)
 
 
 # ---------------------------------------------------------------------------
