@@ -2252,17 +2252,20 @@ def iswt1d_level_fused(a, d, fb, level):
 
 
 def _long_variant(family="dwt"):
-    """Fold-kernel variant, chip-measured per family (round 5,
-    tools/proto_longfold_r5.py): the scratch-ref form wins the
-    DECIMATED fold at every width it covers (db4 L5 roundtrip 424.9 us
-    vs 643.1 plain) while the a-trous fold is faster with the plain
-    value temporaries (db6 SWT L3 1105.9 plain vs 1521.7 scratch;
-    hlen 8 is the lone exception and the margin there is small).
-    PYPWT_LONGFOLD overrides both families (probe knob)."""
+    """Fold-kernel variant, chip-measured (round 5,
+    tools/proto_longfold_r5.py): at the >= 128-row foldings the
+    scratch-ref form wins BOTH families at every width it covers
+    (DWT db4 L5 roundtrip 260.3 us scratch vs 408.4 plain; SWT L3
+    db2 507.6 vs 540.3, db6 564.5 vs 750.4, sym8 612.9 vs plain
+    VMEM-error).  An earlier per-family split ("plain" for SWT) came
+    from the pre-round-5 narrow foldings and silently sent wide SWT
+    banks to the jnp fold (bench floor gate caught it: sym8 L3 4Mi at
+    1925 us vs 613 forced-scratch).  PYPWT_LONGFOLD overrides (probe
+    knob); the plain form keeps its hlen < 14 coverage guard."""
     v = os.environ.get("PYPWT_LONGFOLD", "")
     if v:
         return v
-    return "scratch" if family == "dwt" else "plain"
+    return "scratch"
 
 
 def _long_max_body():

@@ -50,12 +50,12 @@ GATE = 7e-4 * SCALE  # reference roundtrip tolerance (test_wavelets.py:538)
 # records floor_ok=None and does not pass silently — it is listed in
 # the summary as UNMEASURED.
 FLOOR_GATES = {
-    "dwt2d_roundtrip_db2_L3_128": 13.5,
+    "dwt2d_roundtrip_db2_L3_128": 13.3,
     "dwt2d_roundtrip_db2_L3_256": 31.0,
     "dwt2d_roundtrip_db2_L3_512": 51.0,
-    "dwt2d_roundtrip_db2_L3_1024": 66.0,
+    "dwt2d_roundtrip_db2_L3_1024": 65.0,
     "dwt2d_roundtrip_db2_L3_2048": 61.0,
-    "dwt2d_roundtrip_db2_L3_4096": 52.0,
+    "dwt2d_roundtrip_db2_L3_4096": 54.0,   # r5: colsplit dispatch, 60.4
     "dwt2d_roundtrip_haar_L3_2048": 90.0,
     "dwt2d_roundtrip_db4_L3_2048": 59.0,
     "dwt2d_roundtrip_sym8_L3_2048": 59.0,
@@ -66,16 +66,18 @@ FLOOR_GATES = {
     "dwt2d_roundtrip_sym8_L3_2048_bf16": 198.0,
     "swt2d_roundtrip_sym8_L3_1024_bf16": 120.0,
     "denoise_soft_db2_L3_2048": 58.0,
-    "denoise_cycle_spin4_db2_L3_2048": 28.0,
+    # r5: random mode rides the phase-select kernels (1053 us, 50.7)
+    "denoise_cycle_spin4_db2_L3_2048": 45.0,
     "denoise_cycle_spin4static_db2_L3_2048": 50.0,
     "dwt1d_batched2048_roundtrip_db2_L3_4096": 100.0,
     "dwt2d_stack8_roundtrip_db2_L3_1024": 61.0,
-    "dwt1d_long_roundtrip_db2_L5_4Mi": 36.0,
-    "swt1d_long_roundtrip_db2_L4_4Mi": 72.0,
-    "dwt1d_long_roundtrip_db4_L5_4Mi": 28.0,
-    "swt1d_long_roundtrip_db4_L3_4Mi": 55.0,
-    "dwt1d_long_roundtrip_sym8_L5_4Mi": 22.0,
-    "swt1d_long_roundtrip_sym8_L3_4Mi": 36.0,
+    # r5 long-1D rebuild (>=128-row foldings + scratch fold): 2.1-2.8x
+    "dwt1d_long_roundtrip_db2_L5_4Mi": 76.0,
+    "swt1d_long_roundtrip_db2_L4_4Mi": 76.0,
+    "dwt1d_long_roundtrip_db4_L5_4Mi": 68.0,
+    "swt1d_long_roundtrip_db4_L3_4Mi": 62.0,
+    "dwt1d_long_roundtrip_sym8_L5_4Mi": 52.0,
+    "swt1d_long_roundtrip_sym8_L3_4Mi": 62.0,
     "nonsep_true2d_db3xcoif1_roundtrip_L3_2048": 27.0,
     "nonsep_rank6_dense_fwd_L2_2048": 11.0,
 }
