@@ -456,8 +456,12 @@ def _build_swt1d_mxu(nr, nc, flo, fhi, level, interpret, prec="highest"):
     if bands is None:
         return None
     ib, _ = bands
-    te = _poly_t(level, nc, hlen=hlen, prec=prec)
-    span = (hlen - 1) * (t // te)
+    # NO polyphase on the lane-axis (transposed-plane) 1D geometry:
+    # the same reshape class failed Mosaic compile for the folded long
+    # kernels (round-5 probe, "MosaicError") and only forced-MXU mode
+    # can reach it here; banded is round-4-proven.
+    te = 1
+    span = (hlen - 1) * t
     b = _pick_b(span, nc // te, row_mult=2, k_mult=1)
     if b < 1:
         return None
@@ -523,8 +527,8 @@ def _build_iswt1d_mxu(nr, nc, flo, fhi, level, interpret, prec="highest"):
     if bands is None:
         return None
     ib, _ = bands
-    te = _poly_t(level, nc, hlen=hlen, synthesis=True, prec=prec)
-    span = (hlen - 1) * (t // te)
+    te = 1  # no polyphase on the transposed 1D geometry (see analysis)
+    span = (hlen - 1) * t
     b = _pick_b(span, nc // te, row_mult=1, k_mult=2)
     if b < 1:
         return None
