@@ -279,6 +279,30 @@ def test_long1d_shape_rules():
     assert conv.long1d_shape((1 << 16) + 1) is None  # odd
     r, c = conv.long1d_shape(1 << 20)
     assert c % 128 == 0                             # aligned preference
+    # round-5 rule: keep >= 128 rows so the transposed column pass runs
+    # full 128-lane tiles at every level of a deep decomposition
+    for n in (1 << 15, 1 << 18, 1 << 20, 1 << 22):
+        r, c = conv.long1d_shape(n)
+        assert r >= 128, (n, r, c)
+
+
+def test_long1d_variant_coverage_guards():
+    """Chip-measured VMEM caps per fold variant (round 5): plain blows
+    up from hlen 14-16, scratch DWT from ~18-20, scratch a-trous is
+    proven through 20 — builders must DECLINE there, not fail at run
+    time."""
+    from pypwt_tpu.ops import pallas_dwt as pk
+    assert pk._long_variant_covers("plain", 12)
+    assert not pk._long_variant_covers("plain", 16)
+    assert pk._long_variant_covers("scratch", 16)
+    assert not pk._long_variant_covers("scratch", 20)
+    assert pk._long_variant_covers("scratch", 20, atrous=True)
+    assert not pk._long_variant_covers("scratch", 24, atrous=True)
+    # default variant is scratch for BOTH families (the bench floor
+    # gate caught a plain default silently routing wide SWT banks to
+    # the jnp fold)
+    assert pk._long_variant("dwt") == "scratch"
+    assert pk._long_variant("swt") == "scratch"
 
 
 def test_long1d_fused_kernels_match_jnp():
